@@ -1,0 +1,90 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline metric is index-build throughput (docs/sec): the full
+tokenize → posting build → doc/term stats → BM25 score → top-k pipeline
+forced end-to-end. Individual query timings are reported under
+"queries". Run with SPARK_GRAFT_CPUS at two values (e.g. 8 and 32) for
+the N-vs-4N scaling-efficiency evidence recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from myaku_spark.driver_queries import (  # noqa: E402
+    QUERIES,
+    q_bm25_topk,
+)
+from myaku_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "postings_build",
+    "term_stats",
+    "bm25_topk",
+    "search_and",
+    "rank_key_topk",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "embedding_topk",
+    "events_windowed",
+    "token_counts",
+]
+
+
+def force(df) -> int:
+    """Fully evaluate a DataFrame without collecting rows to the driver."""
+    return df.select(F.count(F.lit(1))).collect()[0][0]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("myaku_spark_bench", parallelism=cpus)
+
+    # Warm the JVM/codegen once so timings measure the engine, not startup.
+    force(q_bm25_topk(spark, sf_dir))
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        force(QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # Headline: end-to-end index build + query (the flagship pipeline).
+    t0 = time.time()
+    force(q_bm25_topk(spark, sf_dir))
+    build_sec = time.time() - t0
+    docs_per_sec = n_docs / build_sec if build_sec > 0 else 0.0
+
+    total = round(sum(timings.values()) + build_sec, 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "index_build_and_query_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+                "n_docs": n_docs,
+                "index_build_sec": round(build_sec, 3),
+                "docs_per_sec": round(docs_per_sec, 1),
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

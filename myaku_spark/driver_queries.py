@@ -1,0 +1,754 @@
+"""Driver-contract queries: every SQL-expressible operator from SURVEY §2,
+paired with an ANSI-SQL DuckDB oracle over the same parquet tables.
+
+Each query is a (spark, sf_dir) -> DataFrame callable; ORACLE[name] is the
+equivalent DuckDB SQL. Column names and types are aligned on both sides
+(the driver sorts columns by name and value-hashes). Floating-point
+results are rounded (3-4 dp) with identical expression shapes on both
+sides so IEEE doubles agree.
+
+The whitespace-tokenized ``documents`` table stands in for the Japanese
+``pages`` path (same pipeline shape; the ja tokenizer is a UDF and is
+covered by pytest + rows-only checks instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from myaku_spark.functions.tokenize import explode_whitespace_tokens
+from myaku_spark.operators import bm25 as bm25_ops
+from myaku_spark.operators import postings as post_ops
+from myaku_spark.operators import scoring
+
+# Fixed query terms drawn from the synthetic vocabulary.
+Q_AND_TERMS = ["spark", "join"]
+Q_OR_TERMS = ["window", "merge", "stream"]
+Q_TOPK_TERMS = ["spark", "join", "filter", "window", "query"]
+FIXED_NOW = "2026-08-01 00:00:00"  # parameterized 'utcnow' (A6 recency)
+
+# MinHash parameters (shared literals on both sides).
+MH_P = 2147483647
+MH_HASHES = [(1_103_515_245 + 12_345 * i, 2_531_011 + 97 * i) for i in range(8)]
+MH_BANDS = 4  # 2 hashes per band
+SHINGLE_K = 3
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return explode_whitespace_tokens(_docs(spark, sf_dir))
+
+
+# SQL fragment: token stream with char offsets (mirrors
+# tokenize_whitespace_col exactly: offsets count empty tokens' separators).
+_SQL_TOKS = """
+toks_raw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS ord
+  FROM documents
+),
+toks_off AS (
+  SELECT doc_id, term, ord,
+         CAST(coalesce(sum(length(term) + 1) OVER (
+             PARTITION BY doc_id ORDER BY ord
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)
+           AS start
+  FROM toks_raw
+),
+toks AS (
+  SELECT doc_id, term, start, CAST(length(term) AS INT) AS len
+  FROM toks_off WHERE length(term) > 0
+)
+"""
+
+_SQL_POSTINGS = (
+    _SQL_TOKS
+    + """,
+postings AS (
+  SELECT term, doc_id, CAST(count(*) AS INT) AS tf
+  FROM toks GROUP BY term, doc_id
+)
+"""
+)
+
+_SQL_BM25 = (
+    _SQL_POSTINGS
+    + """,
+dstats AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+cstats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dstats),
+tstats AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM postings GROUP BY term),
+scored AS (
+  SELECT p.term, p.doc_id, p.tf,
+         ((ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * p.tf) * 2.2)
+           / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / c.avgdl)) AS bm25
+  FROM postings p JOIN dstats d USING (doc_id)
+                  JOIN tstats USING (term), cstats c
+)
+"""
+)
+
+
+# --- queries ---------------------------------------------------------------
+
+
+def q_token_positions(spark, sf_dir):
+    """T1/T2 analog: offset-preserving tokenization (Catalyst aggregate HOF)."""
+    return _tokens(spark, sf_dir).select(
+        "doc_id", "term", F.col("start").cast("int").alias("start"),
+        F.col("len").cast("int").alias("len"),
+    )
+
+
+def q_postings_build(spark, sf_dir):
+    """A1: posting build — (term, doc_id) → tf."""
+    p = post_ops.build_postings(_tokens(spark, sf_dir))
+    return p.select("term", "doc_id", F.col("tf").cast("int").alias("tf"))
+
+
+def q_posting_positions(spark, sf_dir):
+    """A1 positions: first occurrence offset per (term, doc) (array head)."""
+    p = post_ops.build_postings(_tokens(spark, sf_dir))
+    return p.select(
+        "term",
+        "doc_id",
+        F.col("positions")[0]["start"].cast("int").alias("first_start"),
+        F.size("positions").alias("n_positions"),
+    )
+
+
+def q_doc_stats(spark, sf_dir):
+    """Doc length stats (BM25 dl; A9 per-doc metrics)."""
+    toks = _tokens(spark, sf_dir)
+    return post_ops.doc_stats(toks).select(
+        "doc_id", F.col("dl").cast("long").alias("dl")
+    )
+
+
+def q_term_stats(spark, sf_dir):
+    """A2/A4: document frequency + collection frequency per term."""
+    p = post_ops.build_postings(_tokens(spark, sf_dir))
+    return post_ops.term_stats(p).select(
+        "term",
+        F.col("df").cast("long").alias("df"),
+        F.col("cf").cast("long").alias("cf"),
+    )
+
+
+def q_term_dictionary(spark, sf_dir):
+    """A3: distinct term dictionary."""
+    p = post_ops.build_postings(_tokens(spark, sf_dir))
+    return post_ops.term_dictionary(p)
+
+
+def q_bm25_topk(spark, sf_dir):
+    """K1: per-term BM25 top-10 for the fixed query terms."""
+    toks = _tokens(spark, sf_dir)
+    p = post_ops.build_postings(toks)
+    scored = bm25_ops.attach_bm25(
+        p, post_ops.term_stats(p), post_ops.doc_stats(toks),
+        post_ops.corpus_stats(post_ops.doc_stats(toks)),
+    )
+    qterms = F.broadcast(
+        spark.createDataFrame([(t,) for t in Q_TOPK_TERMS], ["term"])
+    )
+    top = bm25_ops.topk_per_term(scored.join(qterms, "term"), k=10)
+    return top.select(
+        "term", "doc_id", F.col("tf").cast("int").alias("tf"),
+        F.col("rank").cast("int").alias("rank"),
+        F.round("bm25", 3).alias("bm25_r"),
+    )
+
+
+def q_search_and(spark, sf_dir):
+    """J7: posting-list intersection (multi-term AND) + summed BM25."""
+    toks = _tokens(spark, sf_dir)
+    p = post_ops.build_postings(toks)
+    scored = bm25_ops.attach_bm25(
+        p, post_ops.term_stats(p), post_ops.doc_stats(toks),
+        post_ops.corpus_stats(post_ops.doc_stats(toks)),
+    )
+    qdf = F.broadcast(
+        spark.createDataFrame([(t,) for t in Q_AND_TERMS], ["term"])
+    )
+    agg = (
+        scored.join(qdf, "term")
+        .groupBy("doc_id")
+        .agg(F.sum("bm25").alias("s"), F.count(F.lit(1)).alias("n_matched"))
+        .filter(F.col("n_matched") == len(Q_AND_TERMS))
+    )
+    return agg.select(
+        "doc_id", F.col("n_matched").cast("long").alias("n_matched"),
+        F.round("s", 3).alias("score_r"),
+    )
+
+
+def q_rank_key_topk(spark, sf_dir):
+    """K1/K3 Myaku rank mode: integer quality score, (score,doc_id) DESC.
+
+    Integer-exact across engines: score = length-bucket(n_chars)*3 +
+    tf-bucket(tf)*3 (A5/A6 arithmetic), rank key (score DESC, doc_id DESC).
+    """
+    docs = _docs(spark, sf_dir)
+    p = post_ops.build_postings(_tokens(spark, sf_dir))
+    scored = p.join(docs.select("doc_id", "n_chars"), "doc_id").select(
+        "term",
+        "doc_id",
+        (
+            scoring.length_score_col(F.col("n_chars")) * 3
+            + scoring.tf_score_mod_col(F.col("tf"))
+        ).cast("int").alias("score"),
+    )
+    qterms = F.broadcast(
+        spark.createDataFrame([(t,) for t in Q_TOPK_TERMS], ["term"])
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("score"), F.desc("doc_id"))
+    top = (
+        scored.join(qterms, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+    return top.select("term", "doc_id", "score", F.col("rank").cast("int").alias("rank"))
+
+
+_SQL_LENGTH_SCORE = """
+CASE WHEN {v} <= 100 THEN -1000 WHEN {v} <= 200 THEN -500
+     WHEN {v} <= 300 THEN 0 WHEN {v} <= 400 THEN 200
+     WHEN {v} <= 500 THEN 600 WHEN {v} <= 700 THEN 800
+     WHEN {v} <= 1000 THEN 1000 WHEN {v} <= 1300 THEN 800
+     WHEN {v} <= 1500 THEN 600 WHEN {v} <= 1700 THEN 400
+     WHEN {v} <= 1900 THEN 200 WHEN {v} <= 2100 THEN 0
+     WHEN {v} <= 2500 THEN -500 ELSE -1000 END
+"""
+
+_SQL_TF_MOD = """
+(CASE WHEN {v} <= 1 THEN 0 WHEN {v} <= 2 THEN 250 WHEN {v} <= 3 THEN 500
+      WHEN {v} <= 4 THEN 750 ELSE 1000 END) * 3
+"""
+
+
+def q_quality_scores(spark, sf_dir):
+    """A5/A6: bucketed article quality scoring (length + recency factors)."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        (scoring.length_score_col(F.col("n_chars")) * 3)
+        .cast("int")
+        .alias("length_score"),
+    )
+
+
+def q_recency_scores(spark, sf_dir):
+    """A6 recency buckets over events.ts with parameterized 'now' (A8)."""
+    ev = _events(spark, sf_dir)
+    now = F.to_timestamp(F.lit(FIXED_NOW))
+    return ev.select(
+        "event_id",
+        (scoring.recency_score_col(F.col("ts"), now) * 2)
+        .cast("int")
+        .alias("recency_score"),
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    """P9/J4: exact dedup via content hash, first-writer-wins (min doc_id)."""
+    docs = _docs(spark, sf_dir)
+    h = docs.select(F.md5(F.encode(F.col("text"), "UTF-8")).alias("h"), "doc_id")
+    return h.groupBy("h").agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).cast("long").alias("n_dupes"),
+    )
+
+
+def q_anti_join_skip(spark, sf_dir):
+    """S4/J5: incremental-crawl skip — LEFT ANTI JOIN vs a skip list."""
+    docs = _docs(spark, sf_dir)
+    skip = docs.filter(F.col("doc_id") % 20 == 0).select("doc_id")
+    return docs.join(skip, "doc_id", "left_anti").select("doc_id", "lang")
+
+
+def q_hydrate_topk(spark, sf_dir):
+    """J1/J2: broadcast hydration of top-k results with doc metadata."""
+    top = q_rank_key_topk(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+    return top.join(F.broadcast(docs), "doc_id").select(
+        "term", "doc_id", "rank", "lang", "source", "n_chars"
+    )
+
+
+def q_lang_distribution(spark, sf_dir):
+    """Text-analysis: language distribution (per-partition metrics, A9)."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    """Text-analysis: token counting per doc + distinct terms."""
+    toks = _tokens(spark, sf_dir)
+    return toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.countDistinct("term").cast("long").alias("n_distinct_terms"),
+    )
+
+
+def q_quality_signals(spark, sf_dir):
+    """Text-analysis: quality signals (avg token len, max token len)."""
+    toks = _tokens(spark, sf_dir)
+    return toks.groupBy("doc_id").agg(
+        F.round(F.avg(F.col("len").cast("double")), 4).alias("avg_token_len"),
+        F.max("len").cast("int").alias("max_token_len"),
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Text-analysis: positional fingerprint (deterministic integer mix).
+
+    Terms are dictionary-encoded (dense ids over the sorted term
+    dictionary, A3) and mixed with their char offset — an
+    engine-independent rolling-hash stand-in."""
+    toks = _tokens(spark, sf_dir)
+    dict_w = Window.orderBy("term")
+    terms = (
+        toks.select("term").distinct()
+        .withColumn("tid", F.row_number().over(dict_w).cast("long"))
+    )
+    t = toks.join(terms, "term")
+    contrib = (F.col("tid") * (1 + F.col("start").cast("long"))) % 2_147_483_647
+    return t.groupBy("doc_id").agg(
+        (F.sum(contrib) % 2_147_483_647).cast("long").alias("fingerprint")
+    )
+
+
+def q_minhash_signature(spark, sf_dir):
+    """Near-dup dedup: MinHash signatures over token sets (LSH stage 1).
+
+    Term ids come from a dense_rank dictionary (engine-independent);
+    hash_i(t) = (a_i * tid + b_i) mod p; signature = per-doc min.
+    """
+    toks = _tokens(spark, sf_dir).select("doc_id", "term").distinct()
+    dict_w = Window.orderBy("term")
+    terms = (
+        toks.select("term").distinct()
+        .withColumn("tid", F.row_number().over(dict_w).cast("long"))
+    )
+    t = toks.join(terms, "term")
+    aggs = [
+        F.min((F.lit(a).cast("long") * F.col("tid") + F.lit(b)) % MH_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MH_HASHES)
+    ]
+    return t.groupBy("doc_id").agg(*aggs)
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """Near-dup dedup stage 2: LSH band-bucket join → candidate pairs."""
+    sig = q_minhash_signature(spark, sf_dir)
+    bands = []
+    per_band = len(MH_HASHES) // MH_BANDS
+    for bnd in range(MH_BANDS):
+        cols = [f"mh{bnd * per_band + j}" for j in range(per_band)]
+        bucket = F.lit(0).cast("long")
+        for c in cols:
+            bucket = (bucket * 1_000_003 + F.col(c)) % MH_P
+        bands.append(
+            sig.select("doc_id", F.lit(bnd).alias("band"), bucket.alias("bucket"))
+        )
+    allb = bands[0]
+    for bdf in bands[1:]:
+        allb = allb.unionByName(bdf)
+    left = allb.alias("l")
+    right = allb.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Near-dup dedup: exact n-gram (shingle) Jaccard over a doc sample."""
+    toks = _tokens(spark, sf_dir).filter(F.col("doc_id") < 100)
+    w = Window.partitionBy("doc_id").orderBy("start")
+    sh = (
+        toks.withColumn("t2", F.lead("term", 1).over(w))
+        .withColumn("t3", F.lead("term", 2).over(w))
+        .filter(F.col("t3").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "term", "t2", "t3").alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("sz", "sz_a")
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "sz", "sz_b"
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+    )
+    return out.select(
+        "doc_a", "doc_b", F.col("inter").cast("long").alias("inter"), "jaccard"
+    )
+
+
+def q_embedding_topk(spark, sf_dir):
+    """Similarity search: brute-force cosine top-3 for 5 query vectors."""
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = emb.filter(F.col("vec_id") >= 5)
+    joined = cand.crossJoin(F.broadcast(qv))
+    dot = F.expr(
+        "aggregate(zip_with(embedding, q_emb, (x, y) ->"
+        " cast(x as double) * cast(y as double)), 0.0d, (acc, v) -> acc + v)"
+    )
+    na = F.expr(
+        "sqrt(aggregate(embedding, 0.0d, (acc, v) ->"
+        " acc + cast(v as double) * cast(v as double)))"
+    )
+    nb = F.expr(
+        "sqrt(aggregate(q_emb, 0.0d, (acc, v) ->"
+        " acc + cast(v as double) * cast(v as double)))"
+    )
+    scored = joined.select(
+        "q_id", "vec_id", (dot / (na * nb)).alias("cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.desc("vec_id"))
+    top = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 3
+    )
+    return top.select(
+        "q_id", "vec_id", F.col("rank").cast("int").alias("rank"),
+        F.round("cos", 3).alias("cos_r"),
+    )
+
+
+def q_events_windowed(spark, sf_dir):
+    """Streaming-analog: tumbling 1h window aggregation over events."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("win_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 3).alias("sum_value"),
+    )
+
+
+def q_incremental_merge(spark, sf_dir):
+    """S6/J4 semantics: first-writer-wins upsert of docs by text hash.
+
+    Simulates a re-crawl: docs with doc_id % 7 == 0 arrive 'again' with a
+    new id offset; MERGE keeps the earliest doc per content hash."""
+    docs = _docs(spark, sf_dir)
+    recrawl = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    combined = docs.select("doc_id", "text").unionByName(recrawl)
+    h = combined.select(
+        "doc_id", F.md5(F.encode(F.col("text"), "UTF-8")).alias("h")
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    return (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("h", F.col("doc_id").alias("keeper_doc_id"))
+    )
+
+
+QUERIES = {
+    "token_positions": q_token_positions,
+    "postings_build": q_postings_build,
+    "posting_positions": q_posting_positions,
+    "doc_stats": q_doc_stats,
+    "term_stats": q_term_stats,
+    "term_dictionary": q_term_dictionary,
+    "bm25_topk": q_bm25_topk,
+    "search_and": q_search_and,
+    "rank_key_topk": q_rank_key_topk,
+    "quality_scores": q_quality_scores,
+    "recency_scores": q_recency_scores,
+    "dedup_exact": q_dedup_exact,
+    "anti_join_skip": q_anti_join_skip,
+    "hydrate_topk": q_hydrate_topk,
+    "lang_distribution": q_lang_distribution,
+    "token_counts": q_token_counts,
+    "quality_signals": q_quality_signals,
+    "doc_fingerprint": q_doc_fingerprint,
+    "minhash_signature": q_minhash_signature,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "embedding_topk": q_embedding_topk,
+    "events_windowed": q_events_windowed,
+    "incremental_merge": q_incremental_merge,
+}
+
+
+# --- DuckDB oracles ---------------------------------------------------------
+
+_SQL_MH = f"""
+WITH {_SQL_TOKS},
+dterms AS (SELECT DISTINCT doc_id, term FROM toks),
+dict AS (
+  SELECT term, CAST(row_number() OVER (ORDER BY term) AS BIGINT) AS tid
+  FROM (SELECT DISTINCT term FROM dterms)
+),
+tt AS (SELECT d.doc_id, di.tid FROM dterms d JOIN dict di USING (term)),
+sig AS (
+  SELECT doc_id,
+{",".join(f"    CAST(min(({a} * tid + {b}) % {MH_P}) AS BIGINT) AS mh{i}" for i, (a, b) in enumerate(MH_HASHES))}
+  FROM tt GROUP BY doc_id
+)
+"""
+
+_mh_per_band = len(MH_HASHES) // MH_BANDS
+_band_selects = []
+for _bnd in range(MH_BANDS):
+    _cols = [f"mh{_bnd * _mh_per_band + j}" for j in range(_mh_per_band)]
+    _expr = "CAST(0 AS BIGINT)"
+    for _c in _cols:
+        _expr = f"(({_expr}) * 1000003 + {_c}) % {MH_P}"
+    _band_selects.append(
+        f"SELECT doc_id, {_bnd} AS band, {_expr} AS bucket FROM sig"
+    )
+_SQL_BANDS = " UNION ALL ".join(_band_selects)
+
+ORACLE = {
+    "token_positions": f"WITH {_SQL_TOKS} SELECT doc_id, term, start, len FROM toks",
+    "postings_build": f"WITH {_SQL_POSTINGS} SELECT term, doc_id, tf FROM postings",
+    "posting_positions": f"""
+WITH {_SQL_TOKS}
+SELECT term, doc_id, CAST(min(start) AS INT) AS first_start,
+       CAST(count(*) AS INT) AS n_positions
+FROM toks GROUP BY term, doc_id
+""",
+    "doc_stats": f"WITH {_SQL_TOKS} SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id",
+    "term_stats": f"""
+WITH {_SQL_POSTINGS}
+SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+FROM postings GROUP BY term
+""",
+    "term_dictionary": f"WITH {_SQL_POSTINGS} SELECT DISTINCT term FROM postings",
+    "bm25_topk": f"""
+WITH {_SQL_BM25},
+ranked AS (
+  SELECT term, doc_id, tf, bm25,
+         row_number() OVER (PARTITION BY term ORDER BY bm25 DESC, doc_id DESC) AS rank
+  FROM scored WHERE term IN ({",".join(repr(t) for t in Q_TOPK_TERMS)})
+)
+SELECT term, doc_id, tf, CAST(rank AS INT) AS rank, round(bm25, 3) AS bm25_r
+FROM ranked WHERE rank <= 10
+""",
+    "search_and": f"""
+WITH {_SQL_BM25}
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched, round(sum(bm25), 3) AS score_r
+FROM scored WHERE term IN ({",".join(repr(t) for t in Q_AND_TERMS)})
+GROUP BY doc_id HAVING count(*) = {len(Q_AND_TERMS)}
+""",
+    "rank_key_topk": f"""
+WITH {_SQL_POSTINGS},
+scored AS (
+  SELECT p.term, p.doc_id,
+         CAST(({_SQL_LENGTH_SCORE.format(v="d.n_chars")}) * 3
+              + ({_SQL_TF_MOD.format(v="p.tf")}) AS INT) AS score
+  FROM postings p JOIN documents d USING (doc_id)
+  WHERE p.term IN ({",".join(repr(t) for t in Q_TOPK_TERMS)})
+),
+ranked AS (
+  SELECT term, doc_id, score,
+         row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id DESC) AS rank
+  FROM scored
+)
+SELECT term, doc_id, score, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 10
+""",
+    "quality_scores": f"""
+SELECT doc_id, CAST(({_SQL_LENGTH_SCORE.format(v="n_chars")}) * 3 AS INT) AS length_score
+FROM documents
+""",
+    "recency_scores": f"""
+SELECT event_id,
+  CAST((CASE WHEN d <= 7 THEN 1000 WHEN d <= 30 THEN 900 WHEN d <= 90 THEN 600
+        WHEN d <= 180 THEN 400 WHEN d <= 365 THEN 200 WHEN d <= 1095 THEN 0
+        ELSE -200 END) * 2 AS INT) AS recency_score
+FROM (SELECT event_id,
+        floor((epoch(TIMESTAMP '{FIXED_NOW}') - epoch(ts)) / 86400.0) AS d
+      FROM events)
+""",
+    "dedup_exact": """
+SELECT md5(text) AS h, min(doc_id) AS keeper_doc_id,
+       CAST(count(*) AS BIGINT) AS n_dupes
+FROM documents GROUP BY md5(text)
+""",
+    "anti_join_skip": """
+SELECT doc_id, lang FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 20 = 0)
+""",
+    "hydrate_topk": f"""
+WITH {_SQL_POSTINGS},
+scored AS (
+  SELECT p.term, p.doc_id,
+         CAST(({_SQL_LENGTH_SCORE.format(v="d.n_chars")}) * 3
+              + ({_SQL_TF_MOD.format(v="p.tf")}) AS INT) AS score
+  FROM postings p JOIN documents d USING (doc_id)
+  WHERE p.term IN ({",".join(repr(t) for t in Q_TOPK_TERMS)})
+),
+ranked AS (
+  SELECT term, doc_id, score,
+         row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id DESC) AS rank
+  FROM scored
+)
+SELECT r.term, r.doc_id, CAST(r.rank AS INT) AS rank, d.lang, d.source, d.n_chars
+FROM ranked r JOIN documents d USING (doc_id) WHERE r.rank <= 10
+""",
+    "lang_distribution": """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+""",
+    "token_counts": f"""
+WITH {_SQL_TOKS}
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT term) AS BIGINT) AS n_distinct_terms
+FROM toks GROUP BY doc_id
+""",
+    "quality_signals": f"""
+WITH {_SQL_TOKS}
+SELECT doc_id, round(avg(CAST(len AS DOUBLE)), 4) AS avg_token_len,
+       CAST(max(len) AS INT) AS max_token_len
+FROM toks GROUP BY doc_id
+""",
+    "doc_fingerprint": f"""
+WITH {_SQL_TOKS},
+dict AS (
+  SELECT term, CAST(row_number() OVER (ORDER BY term) AS BIGINT) AS tid
+  FROM (SELECT DISTINCT term FROM toks)
+)
+SELECT doc_id,
+       CAST(sum(tid * (1 + CAST(start AS BIGINT)) % 2147483647)
+            % 2147483647 AS BIGINT) AS fingerprint
+FROM toks JOIN dict USING (term) GROUP BY doc_id
+""",
+    "minhash_signature": f"{_SQL_MH} SELECT * FROM sig",
+    "minhash_lsh_pairs": f"""
+{_SQL_MH},
+bands AS ({_SQL_BANDS})
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+FROM bands l JOIN bands r
+  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+""",
+    "ngram_jaccard_pairs": f"""
+WITH {_SQL_TOKS},
+st AS (SELECT * FROM toks WHERE doc_id < 100),
+sh0 AS (
+  SELECT doc_id, term,
+         lead(term, 1) OVER (PARTITION BY doc_id ORDER BY start) AS t2,
+         lead(term, 2) OVER (PARTITION BY doc_id ORDER BY start) AS t3
+  FROM st
+),
+sh AS (
+  SELECT DISTINCT doc_id, term || ' ' || t2 || ' ' || t3 AS shingle
+  FROM sh0 WHERE t3 IS NOT NULL
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+       round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.2
+""",
+    "embedding_topk": """
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+pairs AS (SELECT c.vec_id, q.q_id, c.embedding, q.q_emb FROM c, q),
+expl AS (
+  SELECT vec_id, q_id,
+         CAST(unnest(embedding) AS DOUBLE) AS x,
+         CAST(unnest(q_emb) AS DOUBLE) AS y
+  FROM pairs
+),
+sums AS (
+  SELECT vec_id, q_id, sum(x * y) AS dot, sqrt(sum(x * x)) AS na,
+         sqrt(sum(y * y)) AS nb
+  FROM expl GROUP BY vec_id, q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, dot / (na * nb) AS cos,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY dot / (na * nb) DESC, vec_id DESC) AS rank
+  FROM sums
+)
+SELECT q_id, vec_id, CAST(rank AS INT) AS rank, round(cos, 3) AS cos_r
+FROM ranked WHERE rank <= 3
+""",
+    "events_windowed": """
+SELECT date_trunc('hour', ts) AS win_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 3) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    "incremental_merge": """
+WITH combined AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+),
+h AS (SELECT doc_id, md5(text) AS h FROM combined),
+r AS (SELECT h, doc_id, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+      FROM h)
+SELECT h, doc_id AS keeper_doc_id FROM r WHERE rn = 1
+""",
+}
