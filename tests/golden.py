@@ -1,0 +1,143 @@
+"""Golden-corpus loader: AST-extracts expected article texts/hashes and
+the url→fixture-HTML map from the reference's end-to-end test
+(/root/reference/myaku/tests/end_to_end/test_crawl.py) without importing
+or executing any reference code. The extracted *data* (public-domain
+literary text + structural fixtures) is the correctness oracle for the
+byte-identical extraction invariant."""
+
+from __future__ import annotations
+
+import ast
+import os
+from functools import lru_cache
+
+REF_TEST = "/root/reference/myaku/tests/end_to_end/test_crawl.py"
+REF_TEST_DIR = "/root/reference/myaku/tests/end_to_end"
+
+
+def _const(node):
+    return node.value if isinstance(node, ast.Constant) else None
+
+
+def _extract_docs(list_node: ast.List) -> list[dict]:
+    docs = []
+    for elt in list_node.elts:
+        if not isinstance(elt, ast.Dict):
+            continue
+        doc = {}
+        for k, v in zip(elt.keys, elt.values):
+            key = _const(k)
+            val = _const(v)
+            if key is not None and val is not None:
+                doc[key] = val
+        if "full_text" in doc:
+            docs.append(doc)
+    return docs
+
+
+def _extract_url_map(dict_node: ast.Dict) -> dict[str, str]:
+    """url → absolute fixture path, from {'url': os.path.join(TEST_DIR, rel)}."""
+    out = {}
+    for k, v in zip(dict_node.keys, dict_node.values):
+        url = _const(k)
+        if url is None:
+            continue
+        if isinstance(v, ast.Call) and len(v.args) == 2:
+            rel = _const(v.args[1])
+            if rel is not None:
+                out[url] = os.path.join(REF_TEST_DIR, rel)
+    return out
+
+
+@lru_cache(maxsize=1)
+def load_golden():
+    """Returns (initial_docs, update_docs, url_map) where url_map merges
+    the initial and update response maps (update wins for re-crawled
+    urls, matching the UPDATE stage)."""
+    tree = ast.parse(open(REF_TEST, encoding="utf-8").read())
+    initial_docs: list[dict] = []
+    update_docs: list[dict] = []
+    initial_map: dict[str, str] = {}
+    update_map: dict[str, str] = {}
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign) and node.targets:
+            t = node.targets[0]
+            name = getattr(t, "id", getattr(t, "attr", None))
+            if name == "INITIAL_CRAWL_EXPECTED_ARTICLE_DOCS":
+                initial_docs = _extract_docs(node.value)
+            elif name == "_INITIAL_CRAWL_RESPONSE_HTML":
+                initial_map = _extract_url_map(node.value)
+            elif name == "_UPDATE_CRAWL_RESPONSE_HTML":
+                update_map = _extract_url_map(node.value)
+        # UPDATE docs are added via UPDATE_..._DOCS.extend([...]).
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr == "extend"
+            and getattr(node.func.value, "id", None)
+            == "UPDATE_CRAWL_EXPECTED_ARTICLE_DOCS"
+            and node.args
+            and isinstance(node.args[0], ast.List)
+        ):
+            update_docs = _extract_docs(node.args[0])
+    url_map = dict(initial_map)
+    url_map.update(update_map)
+    return initial_docs, update_docs, url_map
+
+
+def source_of(url: str) -> str:
+    if "kakuyomu.jp" in url:
+        return "kakuyomu"
+    if "asahi.com" in url:
+        return "asahi"
+    if "nhk.or.jp" in url:
+        return "nhk"
+    return "unknown"
+
+
+def golden_pages(stage: str = "both") -> list[dict]:
+    """[{url, html(bytes), source, full_text, text_hash, alnum_count}] for
+    every golden article whose fixture exists in the url map."""
+    tree = ast.parse(open(REF_TEST, encoding="utf-8").read())
+    initial_map: dict[str, str] = {}
+    update_map: dict[str, str] = {}
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign) and node.targets:
+            t0 = node.targets[0]
+            name = getattr(t0, "id", None) or getattr(t0, "attr", None)
+            if name == "_INITIAL_CRAWL_RESPONSE_HTML":
+                initial_map = _extract_url_map(node.value)
+            elif name == "_UPDATE_CRAWL_RESPONSE_HTML":
+                update_map = _extract_url_map(node.value)
+    initial_docs, update_docs, _ = load_golden()
+    docs: list[tuple[dict, dict]] = []
+    if stage in ("initial", "both"):
+        docs += [(d, initial_map) for d in initial_docs]
+    if stage in ("update", "both"):
+        merged = dict(initial_map)
+        merged.update(update_map)
+        docs += [(d, merged) for d in update_docs]
+    pages = []
+    seen = set()
+    for doc, url_map in docs:
+        url = doc.get("source_url")
+        if url in seen:
+            continue
+        seen.add(url)
+        path = url_map.get(url)
+        if not path or not os.path.exists(path):
+            continue
+        with open(path, "rb") as f:
+            html = f.read()
+        pages.append(
+            {
+                "url": url,
+                "html": html,
+                "source": source_of(url),
+                "full_text": doc["full_text"],
+                "text_hash": doc.get("text_hash"),
+                "alnum_count": doc.get("alnum_count"),
+                "title": doc.get("title"),
+            }
+        )
+    return pages

@@ -1,0 +1,145 @@
+"""End-to-end index build: extract → dedupe → tokenize → segments →
+checkpoints, then search parity (WAND == exhaustive == DataFrame oracle)
+and resumability."""
+
+import shutil
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from myaku_spark.functions.tokenize import explode_ja_tokens
+from myaku_spark.operators.postings import build_postings
+from myaku_spark.operators.scoring import tf_score_mod_col
+from myaku_spark.operators.search import IndexSearcher
+from myaku_spark.plans.build_index import build_index
+from myaku_spark.sources.pages import synth_pages_df
+
+N_PAGES = 150
+NOW = "2026-08-01 00:00:00"
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx"))
+    pages = synth_pages_df(spark, N_PAGES, partitions=4)
+    metrics = build_index(spark, pages, d, n_groups=3, now=NOW)
+    assert len(metrics) == 3
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _oracle_scored(spark, index_dir):
+    docs = spark.read.parquet(f"{index_dir}/docs")
+    texts = docs.select("doc_id", "doc_score", "doc_ts").join(
+        spark.read.parquet(f"{index_dir}/docs").select("doc_id"), "doc_id"
+    )
+    return docs
+
+
+def test_checkpoints_and_metrics(spark, index_dir):
+    cp = spark.read.parquet(f"{index_dir}/checkpoints")
+    rows = cp.collect()
+    assert len(rows) == 3
+    assert all(r.status == "done" for r in rows)
+    assert sum(r.docs for r in rows) > 0
+    assert all(r.terms > 0 and r.bytes > 0 and r.wall_ms >= 0 for r in rows)
+    n_docs = spark.read.parquet(f"{index_dir}/docs").count()
+    assert sum(r.docs for r in rows) == n_docs
+
+
+def test_resume_skips_completed_groups(spark, index_dir):
+    pages = synth_pages_df(spark, N_PAGES, partitions=4)
+    metrics = build_index(spark, pages, index_dir, n_groups=3, now=NOW)
+    assert metrics == []  # everything checkpointed → no work
+
+
+def test_search_wand_equals_exhaustive(spark, index_dir):
+    searcher = IndexSearcher(spark, index_dir, mode="myaku")
+    tstats = (
+        spark.read.parquet(f"{index_dir}/term_stats")
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .orderBy(F.desc("df"))
+        .limit(8)
+        .collect()
+    )
+    terms = [r.term for r in tstats]
+    assert terms
+    for t in terms[:4]:
+        assert searcher.search([t], k=10) == searcher.search(
+            [t], k=10, exhaustive=True
+        )
+    for pair in [terms[:2], terms[2:4], terms[:3]]:
+        for combine in ("and", "or"):
+            got = searcher.search(pair, k=10, combine=combine)
+            exp = searcher.search(pair, k=10, combine=combine, exhaustive=True)
+            assert got == exp, (pair, combine)
+
+
+def test_search_matches_dataframe_oracle(spark, index_dir):
+    """Single-term myaku-rank top-k == window top-k over re-derived
+    postings (K1 oracle)."""
+    docs = spark.read.parquet(f"{index_dir}/docs")
+    # Re-derive text from synth generator through the docs table join.
+    pages = synth_pages_df(spark, N_PAGES, partitions=4).select("url", "text")
+    docs_t = docs.join(pages, "url")
+    tokens = explode_ja_tokens(docs_t, "text", "doc_id")
+    postings = build_postings(tokens)
+    scored = (
+        postings.join(docs.select("doc_id", "doc_score"), "doc_id")
+        .withColumn(
+            "score",
+            (F.col("doc_score") + tf_score_mod_col(F.col("tf"))).cast("long"),
+        )
+    )
+    top_term = (
+        postings.groupBy("term").count().orderBy(F.desc("count")).limit(1).collect()
+    )[0].term
+    w = Window.partitionBy("term").orderBy(F.desc("score"), F.desc("doc_id"))
+    expected = [
+        (float(r.score), r.doc_id)
+        for r in scored.filter(F.col("term") == top_term)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .orderBy("rank")
+        .collect()
+    ]
+    searcher = IndexSearcher(spark, index_dir, mode="myaku")
+    assert searcher.search([top_term], k=10) == expected
+
+
+def test_hydration_and_pagination(spark, index_dir):
+    searcher = IndexSearcher(spark, index_dir, mode="myaku")
+    tstats = (
+        spark.read.parquet(f"{index_dir}/term_stats")
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .orderBy(F.desc("df"))
+        .limit(1)
+        .collect()
+    )
+    term = tstats[0].term
+    page1 = searcher.search_page([term], page_num=1, k=5).collect()
+    page2 = searcher.search_page([term], page_num=2, k=5).collect()
+    assert len(page1) == 5
+    assert {r.doc_id for r in page1}.isdisjoint({r.doc_id for r in page2})
+    assert all(r.url is not None for r in page1)
+
+
+def test_dedup_first_writer_wins(spark, tmp_path):
+    """Identical text under two urls → one doc survives (P9/J4)."""
+    import datetime as dt
+
+    from myaku_spark.plans.build_index import extract_and_dedupe
+    from myaku_spark.sources.pages import PAGES_SCHEMA, synth_page
+
+    p = synth_page(7)
+    rows = [
+        ("https://synth.example.jp/a", dt.datetime(2026, 1, 2), p["html"], p["text"], "ja"),
+        ("https://synth.example.jp/b", dt.datetime(2026, 1, 1), p["html"], p["text"], "ja"),
+    ]
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+    out = extract_and_dedupe(pages).collect()
+    assert len(out) == 1
+    assert out[0].url == "https://synth.example.jp/b"  # earliest warc_ts wins

@@ -1,0 +1,92 @@
+"""Codec roundtrip tests (property-based + edge cases)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from myaku_spark.operators.codec import (
+    decode_block,
+    delta_decode,
+    delta_encode,
+    encode_block,
+    varint_decode,
+    varint_encode,
+)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_varint_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert varint_decode(varint_encode(arr)).tolist() == vals
+
+
+def test_varint_edge_values():
+    vals = [0, 1, 127, 128, 129, 16383, 16384, 2**32, 2**63 - 1]
+    arr = np.array(vals, dtype=np.uint64)
+    assert varint_decode(varint_encode(arr)).tolist() == vals
+
+
+def test_varint_empty():
+    assert varint_encode(np.array([], dtype=np.uint64)) == b""
+    assert varint_decode(b"").size == 0
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**40), min_size=1, max_size=300
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_delta_roundtrip(ids):
+    s = np.array(sorted(set(ids)), dtype=np.uint64)
+    assert delta_decode(delta_encode(s)).tolist() == s.tolist()
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**40),  # doc_id
+            st.integers(min_value=1, max_value=200),  # tf
+            st.integers(min_value=-5000, max_value=5000),  # score
+        ),
+        min_size=0,
+        max_size=80,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_block_roundtrip(postings):
+    postings.sort()
+    doc_ids = np.array([p[0] for p in postings], dtype=np.uint64)
+    tfs = np.array([p[1] for p in postings], dtype=np.uint64)
+    scores = np.array([p[2] for p in postings], dtype=np.int64)
+    blob = encode_block(doc_ids, tfs, scores)
+    out = decode_block(blob)
+    assert out["doc_ids"].tolist() == doc_ids.tolist()
+    assert out["tfs"].tolist() == tfs.tolist()
+    assert out["scores"].tolist() == scores.tolist()
+
+
+def test_block_with_positions():
+    doc_ids = np.array([3, 10, 55], dtype=np.uint64)
+    tfs = np.array([2, 1, 3], dtype=np.uint64)
+    positions = [
+        [(0, 2), (17, 4)],
+        [(5, 1)],
+        [(2, 2), (9, 3), (100, 1)],
+    ]
+    blob = encode_block(doc_ids, tfs, positions=positions)
+    out = decode_block(blob)
+    assert out["doc_ids"].tolist() == [3, 10, 55]
+    assert out["positions"] == positions
+    assert "scores" not in out
+
+
+def test_compression_actually_compresses():
+    # Dense sequential ids → deltas of 1 → tiny blob.
+    n = 10_000
+    doc_ids = np.arange(n, dtype=np.uint64)
+    tfs = np.ones(n, dtype=np.uint64)
+    blob = encode_block(doc_ids, tfs)
+    assert len(blob) < n  # far smaller than 8 bytes/posting

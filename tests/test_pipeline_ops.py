@@ -1,0 +1,180 @@
+"""Dedup / similarity / textstats / multimodal operator tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from myaku_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard,
+    shingles,
+    simhash,
+    simhash_near_dups,
+)
+from myaku_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    synth_media_df,
+)
+from myaku_spark.operators.similarity import ann_topk, cosine_topk
+from myaku_spark.operators.textstats import (
+    detect_language,
+    quality_filter,
+    quality_signals,
+    token_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base.replace("lazy", "sleepy")
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, near),  # near dup of 0
+        (3, "completely different text about spark shuffle partitions here"),
+        (4, "unrelated words describing benchmark throughput measurements now"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_first_writer_wins(spark, dup_docs):
+    out = exact_dedup(dup_docs).select("doc_id").collect()
+    ids = sorted(r.doc_id for r in out)
+    assert ids == [0, 2, 3, 4]  # doc 1 removed, doc 0 kept
+
+
+def test_minhash_lsh_finds_near_dups(spark, dup_docs):
+    sh = shingles(dup_docs, k=3)
+    sig = minhash_signatures(sh, n_hashes=16)
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(sig, n_hashes=16, n_bands=8).collect()
+    }
+    assert (0, 1) in pairs  # exact dup always collides
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup likely collides
+
+
+def test_ngram_jaccard_values(spark, dup_docs):
+    sh = shingles(dup_docs, k=3)
+    j = {
+        (r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard(sh).collect()
+    }
+    assert j[(0, 1)] == 1.0
+    assert 0.2 < j[(0, 2)] < 1.0
+    assert (0, 3) not in j  # no shared shingles
+
+
+def test_simhash_near_dups(spark, dup_docs):
+    sim = simhash(dup_docs)
+    vals = {r.doc_id: r.simhash for r in sim.collect()}
+    assert vals[0] == vals[1]
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_near_dups(sim, max_hamming=16).collect()
+    }
+    assert pairs.get((0, 1)) == 0
+    # near-dup has small hamming distance vs unrelated docs
+    if (0, 2) in pairs:
+        assert pairs[(0, 2)] <= 16
+
+
+def test_cosine_topk_exact(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = emb.filter(F.col("vec_id") >= 3)
+    top = cosine_topk(cand, q, k=5).collect()
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r.q_id, []).append((r.rank, r.cos))
+    for q_id, rows in by_q.items():
+        rows.sort()
+        assert len(rows) == 5
+        # scores non-increasing with rank
+        assert all(rows[i][1] >= rows[i + 1][1] - 1e-12 for i in range(4))
+
+
+def test_ann_topk_recall_vs_exact(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = emb.filter(F.col("vec_id") >= 5)
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in cosine_topk(cand, q, k=3).collect()
+    }
+    # Self-match: query vector is its own best neighbor when included.
+    ann = ann_topk(cand.unionByName(
+        q.select(F.col("q_id").alias("vec_id"), F.col("q_emb").alias("embedding"))
+    ), q, k=1, n_planes=6).collect()
+    hits = sum(1 for r in ann if r.vec_id == r.q_id and r.rank == 1)
+    assert hits == 5  # identical vector shares every LSH bucket → found
+    assert len(exact) == 15
+
+
+def test_detect_language(spark):
+    rows = [
+        (0, "the quick brown fox and the lazy dog in the park"),
+        (1, "el perro y el gato en la casa de los abuelos una vez"),
+        (2, "吾輩は猫である。名前はまだ無い。"),
+        (3, "Это пример русского текста для проверки алгоритма."),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.lang_pred for r in detect_language(df).collect()}
+    assert out[0] == "en"
+    assert out[1] == "es"
+    assert out[2] == "ja"
+    assert out[3] == "ru"
+
+
+def test_quality_signals_and_filter(spark, dup_docs):
+    sig = quality_signals(dup_docs)
+    rows = {r.doc_id: r for r in sig.collect()}
+    assert rows[0].n_tokens == 12
+    assert 0 <= rows[0].punct_ratio < 0.1
+    kept = quality_filter(sig, min_tokens=5).count()
+    assert kept == 5
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(0, "hello world, it's 42 degrees!")], ["doc_id", "text"]
+    )
+    r = token_counts(df).collect()[0]
+    assert r.n_ws_tokens == 5
+    assert r.n_subword_pieces >= 7  # letters/digits/punct split
+
+
+def test_multimodal_features(spark):
+    media = synth_media_df(spark, 24)
+    feats = extract_features(media).collect()
+    assert len(feats) == 24
+    for r in feats:
+        assert len(r.feature) == 64
+        assert r.n_bytes > 0
+    # Deterministic: same media id → same feature.
+    feats2 = extract_features(media).collect()
+    m1 = {r.media_id: r.feature for r in feats}
+    m2 = {r.media_id: r.feature for r in feats2}
+    assert m1 == m2
+
+
+def test_frame_sample_plan(spark):
+    media = synth_media_df(spark, 12)
+    plan = frame_sample_plan(media, every_ms=1000)
+    rows = plan.collect()
+    vids = media.filter(F.col("kind") == "video").count()
+    assert len(rows) == vids * 5  # 5000ms / 1000ms
+    assert {r.frame_ts_ms for r in rows} == {0, 1000, 2000, 3000, 4000}
+
+
+def test_multimodal_unknown_kind_raises(spark):
+    from myaku_spark.operators.multimodal import _fake_decode
+
+    with pytest.raises(NotImplementedError):
+        _fake_decode(b"xx", "hologram")
