@@ -506,6 +506,105 @@ def q_incremental_merge(spark, sf_dir):
     )
 
 
+def q_quality_filter(spark, sf_dir):
+    """Gopher-style token-statistics quality signals (pre-training filter)."""
+    from myaku_spark.operators.textstats import quality_signals
+
+    sig = quality_signals(_docs(spark, sf_dir))
+    return sig.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
+        F.round("ttr", 4).alias("ttr_r"),
+        F.round("mean_token_len", 4).alias("mtl_r"),
+    )
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (xxhash64-based — rows-only check)."""
+    from myaku_spark.operators.dedup import simhash, simhash_near_dups
+
+    sim = simhash(_docs(spark, sf_dir))
+    return simhash_near_dups(sim, max_hamming=12)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate NN (rows-only; exact twin is embedding_topk)."""
+    from myaku_spark.operators.similarity import ann_topk
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    return ann_topk(cand, q, k=3, n_planes=4).select(
+        "q_id", "vec_id", F.col("rank").cast("int").alias("rank"),
+        F.round("cos", 3).alias("cos_r"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    """Heuristic language ID vs the labeled lang column (rows-only)."""
+    from myaku_spark.operators.textstats import detect_language
+
+    return detect_language(_docs(spark, sf_dir)).select(
+        "doc_id", "lang", "lang_pred"
+    )
+
+
+def q_ja_index_postings(spark, sf_dir):
+    """Japanese pipeline over deterministic synthetic pages: extract UDF →
+    ja tokenize UDF → posting build (rows-only; golden parity in pytest)."""
+    from myaku_spark.functions.tokenize import explode_ja_tokens
+    from myaku_spark.plans.build_index import extract_and_dedupe
+    from myaku_spark.sources.pages import synth_pages_df
+
+    pages = synth_pages_df(spark, 60, partitions=4)
+    docs = extract_and_dedupe(pages).withColumn(
+        "doc_id", F.xxhash64("url")
+    )
+    toks = explode_ja_tokens(docs, "text", "doc_id")
+    p = post_ops.build_postings(toks)
+    return p.join(docs.select("doc_id", "url"), "doc_id").select(
+        "url", "term", F.col("tf").cast("int").alias("tf")
+    )
+
+
+def q_extraction_parity(spark, sf_dir):
+    """Byte-identical extraction invariant: per-url SHA-256 of the
+    extract-UDF output vs the shipped text column (rows-only; every row
+    must have match=true)."""
+    from myaku_spark.functions.html_extract import extract_text_udf
+    from myaku_spark.sources.pages import synth_pages_df
+
+    pages = synth_pages_df(spark, 60, partitions=4)
+    src = F.lit("kakuyomu")
+    out = pages.withColumn("ext", extract_text_udf(F.col("html"), src))
+    return out.select(
+        "url",
+        F.sha2(F.encode(F.col("ext"), "UTF-8"), 256).alias("ext_hash"),
+        (
+            F.sha2(F.encode(F.col("ext"), "UTF-8"), 256)
+            == F.sha2(F.encode(F.col("text"), "UTF-8"), 256)
+        ).alias("match"),
+    )
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: binary payload → mapInPandas feature extraction
+    (deterministic stub kernel; rows-only)."""
+    from myaku_spark.operators.multimodal import (
+        extract_features,
+        synth_media_df,
+    )
+
+    media = synth_media_df(spark, 48)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id", "kind", "n_bytes", F.size("feature").alias("dim")
+    )
+
+
 QUERIES = {
     "token_positions": q_token_positions,
     "postings_build": q_postings_build,
@@ -531,6 +630,13 @@ QUERIES = {
     "embedding_topk": q_embedding_topk,
     "events_windowed": q_events_windowed,
     "incremental_merge": q_incremental_merge,
+    "quality_filter": q_quality_filter,
+    "simhash_pairs": q_simhash_pairs,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "lang_id": q_lang_id,
+    "ja_index_postings": q_ja_index_postings,
+    "extraction_parity": q_extraction_parity,
+    "media_features": q_media_features,
 }
 
 
@@ -739,6 +845,14 @@ FROM ranked WHERE rank <= 3
 SELECT date_trunc('hour', ts) AS win_start, event_type,
        CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 3) AS sum_value
 FROM events GROUP BY 1, 2
+""",
+    "quality_filter": f"""
+WITH {_SQL_TOKS}
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT term) AS BIGINT) AS n_distinct_tokens,
+       round(count(DISTINCT term) / count(*), 4) AS ttr_r,
+       round(sum(length(term)) / count(*), 4) AS mtl_r
+FROM toks GROUP BY doc_id
 """,
     "incremental_merge": """
 WITH combined AS (

@@ -127,6 +127,49 @@ def encode_block(
     return zlib.compress(b"".join(parts), _ZLIB_LEVEL)
 
 
+def encode_block_arrays(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    payload: np.ndarray | None,
+    flat_starts: np.ndarray | None = None,
+    flat_lens: np.ndarray | None = None,
+) -> bytes:
+    """Vectorized twin of encode_block: positions arrive pre-flattened as
+    (flat_starts, flat_lens) aligned with per-doc counts = tfs. Start
+    offsets are delta-encoded within each doc without a Python loop."""
+    doc_ids = np.asarray(doc_ids, dtype=np.uint64)
+    tfs = np.asarray(tfs, dtype=np.uint64)
+    n = doc_ids.size
+    parts = [varint_encode(np.array([n], dtype=np.uint64))]
+    parts.append(varint_encode(delta_encode(doc_ids)))
+    parts.append(varint_encode(tfs))
+    if payload is not None:
+        s = np.asarray(payload, dtype=np.int64)
+        zz = ((s << 1) ^ (s >> 63)).astype(np.uint64)
+        parts.append(b"\x01" + varint_encode(zz))
+    else:
+        parts.append(b"\x00")
+    if flat_starts is not None and n > 0:
+        starts = np.asarray(flat_starts, dtype=np.int64)
+        lens = np.asarray(flat_lens, dtype=np.uint64)
+        deltas = starts.copy()
+        deltas[1:] -= starts[:-1]
+        # Reset deltas at each doc's first position.
+        doc_heads = np.zeros(starts.size, dtype=bool)
+        head_idx = np.concatenate(
+            ([0], np.cumsum(tfs.astype(np.int64))[:-1])
+        )
+        doc_heads[head_idx] = True
+        deltas[doc_heads] = starts[doc_heads]
+        inter = np.empty(starts.size * 2, dtype=np.uint64)
+        inter[0::2] = deltas.astype(np.uint64)
+        inter[1::2] = lens
+        parts.append(b"\x01" + varint_encode(inter))
+    else:
+        parts.append(b"\x00")
+    return zlib.compress(b"".join(parts), _ZLIB_LEVEL)
+
+
 def decode_block(blob: bytes) -> dict:
     """Inverse of encode_block → dict(doc_ids, tfs, scores?, positions?)."""
     raw = zlib.decompress(blob)

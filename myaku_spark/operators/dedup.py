@@ -184,16 +184,20 @@ def simhash(
         F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
     ).filter(F.length("tok") > 0)
     h = toks.withColumn("_h", F.xxhash64("tok"))
+    def bitmask(j):
+        # JVM-side shift: 1<<63 overflows a py4j literal (signed long).
+        return F.shiftleft(F.lit(1).cast("long"), j)
+
     bit_sums = [
         F.sum(
-            F.when(F.col("_h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
+            F.when(F.col("_h").bitwiseAND(bitmask(j)) != 0, 1).otherwise(-1)
         ).alias(f"b{j}")
         for j in range(bits)
     ]
     agg = h.groupBy("doc_id").agg(*bit_sums)
     sim = F.lit(0).cast("long")
     for j in range(bits):
-        sim = sim + F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+        sim = sim + F.when(F.col(f"b{j}") > 0, bitmask(j)).otherwise(
             F.lit(0).cast("long")
         )
     return agg.select("doc_id", sim.alias("simhash"))

@@ -35,6 +35,9 @@ class IndexSearcher:
         self.spark = spark
         self.index_dir = index_dir
         self.mode = mode
+        from myaku_spark.plans.incremental import load_tombstones
+
+        self.deleted = load_tombstones(spark, index_dir)
         if mode == "bm25":
             r = spark.read.parquet(f"{index_dir}/corpus_stats").collect()[0]
             self.n_docs, self.avgdl = int(r.n_docs), float(r.avgdl)
@@ -59,7 +62,9 @@ class IndexSearcher:
         rows = read_term_segments(
             self.spark, f"{self.index_dir}/segments", terms
         ).collect()
-        return cursors_from_segments(rows, self._scorer_factory(terms))
+        return cursors_from_segments(
+            rows, self._scorer_factory(terms), deleted=self.deleted or None
+        )
 
     def search(
         self,

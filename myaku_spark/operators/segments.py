@@ -67,35 +67,48 @@ def term_bucket_col(term_col):
     return F.pmod(F.xxhash64(term_col), F.lit(N_BUCKETS)).cast("int")
 
 
-def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """applyInPandas: one (term, block_id) group → one segment row."""
-    pdf = pdf.sort_values("doc_id")
-    doc_ids = pdf["doc_id"].to_numpy(dtype=np.uint64)
-    tfs = pdf["tf"].to_numpy(dtype=np.uint64)
-    payload = pdf["payload"].to_numpy(dtype=np.int64)
-    positions = None
-    if "positions" in pdf.columns:
-        positions = [
-            [(p["start"], p["len"]) for p in plist] for plist in pdf["positions"]
-        ]
-    blob = encode_block(doc_ids, tfs, payload, positions)
-    term = pdf["term"].iloc[0]
-    return pd.DataFrame(
-        [
-            {
-                "bucket": int(pdf["bucket"].iloc[0]),
-                "term": term,
-                "block_id": int(pdf["block_id"].iloc[0]),
-                "n_postings": len(pdf),
-                "min_doc": int(doc_ids.min()),
-                "max_doc": int(doc_ids.max()),
-                "max_tf": int(tfs.max()),
-                "min_dl": int(pdf["dl"].min()) if "dl" in pdf.columns else 0,
-                "max_score": int(payload.max()),
-                "blob": blob,
-            }
-        ]
-    )
+def _encode_rows(batches):
+    """mapInPandas: one row per (term, block) with pre-aggregated primitive
+    arrays → one segment row. All heavy lifting is numpy over Arrow
+    buffers; no per-posting Python objects."""
+    import pandas as pd  # local import for the executor
+
+    from myaku_spark.operators.codec import encode_block_arrays
+
+    for pdf in batches:
+        out = []
+        has_pos = "pos_starts" in pdf.columns
+        for row in pdf.itertuples(index=False):
+            doc_ids = np.asarray(row.doc_ids, dtype=np.uint64)
+            tfs = np.asarray(row.tfs, dtype=np.uint64)
+            payload = np.asarray(row.payloads, dtype=np.int64)
+            if has_pos:
+                flat_starts = np.concatenate(
+                    [np.asarray(a, dtype=np.int64) for a in row.pos_starts]
+                ) if len(row.pos_starts) else np.empty(0, dtype=np.int64)
+                flat_lens = np.concatenate(
+                    [np.asarray(a, dtype=np.int64) for a in row.pos_lens]
+                ) if len(row.pos_lens) else np.empty(0, dtype=np.int64)
+            else:
+                flat_starts = flat_lens = None
+            blob = encode_block_arrays(
+                doc_ids, tfs, payload, flat_starts, flat_lens
+            )
+            out.append(
+                {
+                    "bucket": int(row.bucket),
+                    "term": row.term,
+                    "block_id": int(row.block_id),
+                    "n_postings": int(doc_ids.size),
+                    "min_doc": int(doc_ids.min()),
+                    "max_doc": int(doc_ids.max()),
+                    "max_tf": int(tfs.max()),
+                    "min_dl": int(row.min_dl),
+                    "max_score": int(payload.max()),
+                    "blob": blob,
+                }
+            )
+        yield pd.DataFrame(out)
 
 
 def build_segments(
@@ -124,14 +137,46 @@ def build_segments(
         "block_id", F.lit(0).cast("long")
     )
     cols = ["bucket", "term", "block_id", "doc_id", "tf", "payload"]
-    if with_positions:
+    has_pos = with_positions and "positions" in p.columns
+    if has_pos:
         cols.append("positions")
-    if "dl" in p.columns:
+    has_dl = "dl" in p.columns
+    if has_dl:
         cols.append("dl")
     both = head.select(*cols).unionByName(tail.select(*cols))
-    return both.groupBy("term", "block_id").applyInPandas(
-        _encode_group, SEGMENT_SCHEMA
+
+    # JVM-side block assembly: sort postings into one struct list per
+    # (term, block), then peel aligned primitive arrays with transform()
+    # so Arrow ships plain int lists (no per-posting Python objects).
+    struct_fields = [F.col("doc_id"), F.col("tf"), F.col("payload")]
+    if has_pos:
+        struct_fields.append(F.col("positions"))
+    agg = both.groupBy("term", "block_id").agg(
+        F.first("bucket").alias("bucket"),
+        (F.min("dl") if has_dl else F.min(F.lit(0))).alias("min_dl"),
+        F.array_sort(F.collect_list(F.struct(*struct_fields))).alias("plist"),
     )
+    sel = [
+        "term",
+        "block_id",
+        "bucket",
+        "min_dl",
+        F.expr("transform(plist, x -> x.doc_id)").alias("doc_ids"),
+        F.expr("transform(plist, x -> x.tf)").alias("tfs"),
+        F.expr("transform(plist, x -> x.payload)").alias("payloads"),
+    ]
+    if has_pos:
+        sel.append(
+            F.expr(
+                "transform(plist, x -> transform(x.positions, p -> p.start))"
+            ).alias("pos_starts")
+        )
+        sel.append(
+            F.expr(
+                "transform(plist, x -> transform(x.positions, p -> p.len))"
+            ).alias("pos_lens")
+        )
+    return agg.select(*sel).mapInPandas(_encode_rows, SEGMENT_SCHEMA)
 
 
 def write_segments(segments: DataFrame, path: str, mode: str = "overwrite"):

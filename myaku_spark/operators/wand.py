@@ -73,6 +73,7 @@ class _Block:
     max_doc: int
     meta: dict
     blob: bytes
+    deleted: object = None  # optional set of tombstoned doc_ids
     doc_ids: np.ndarray | None = None
     tfs: np.ndarray | None = None
     payload: np.ndarray | None = None
@@ -80,11 +81,17 @@ class _Block:
     def ensure_decoded(self):
         if self.doc_ids is None:
             dec = decode_block(self.blob)
-            self.doc_ids = dec["doc_ids"].astype(np.int64)
-            self.tfs = dec["tfs"]
-            self.payload = dec.get(
-                "scores", np.zeros_like(dec["tfs"])
-            )
+            doc_ids = dec["doc_ids"].astype(np.int64)
+            tfs = dec["tfs"]
+            payload = dec.get("scores", np.zeros_like(dec["tfs"]))
+            if self.deleted:
+                keep = np.array(
+                    [int(d) not in self.deleted for d in doc_ids], dtype=bool
+                )
+                doc_ids, tfs, payload = doc_ids[keep], tfs[keep], payload[keep]
+            self.doc_ids = doc_ids
+            self.tfs = tfs
+            self.payload = payload
 
 
 @dataclass
@@ -158,8 +165,14 @@ class TermCursor:
         self._position()
 
 
-def cursors_from_segments(rows, scorer_for_term) -> dict[str, TermCursor]:
-    """Segment rows (dicts or Rows with term/block fields) → cursors."""
+def cursors_from_segments(
+    rows, scorer_for_term, deleted: set | None = None
+) -> dict[str, TermCursor]:
+    """Segment rows (dicts or Rows with term/block fields) → cursors.
+
+    ``deleted`` doc_ids (tombstones from incremental re-index) are
+    filtered out at block-decode time; block-max metadata remains a
+    sound upper bound."""
     by_term: dict[str, list[_Block]] = {}
     for r in rows:
         d = r.asDict() if hasattr(r, "asDict") else dict(r)
@@ -172,6 +185,7 @@ def cursors_from_segments(rows, scorer_for_term) -> dict[str, TermCursor]:
                 "min_dl": d["min_dl"],
             },
             blob=bytes(d["blob"]),
+            deleted=deleted,
         )
         by_term.setdefault(d["term"], []).append(blk)
     out = {}

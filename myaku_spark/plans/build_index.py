@@ -112,8 +112,11 @@ def build_group(
     (rank key (score, doc_ts→doc_id, doc_id)); mode='bm25' stores dl so
     query-time BM25 can be computed posting-locally."""
     t0 = time.time()
-    docs = extract_and_dedupe(pages_group)
-    docs = assign_doc_ids(docs, ["warc_ts", "url"])
+    # Persist the extraction output BEFORE id assignment: assign_doc_ids
+    # runs a bucket-count action, which would otherwise re-run the
+    # extract UDF + dedup shuffle a second time.
+    extracted = extract_and_dedupe(pages_group).persist()
+    docs = assign_doc_ids(extracted, ["warc_ts", "url"])
     # Group-local ids are made globally unique by a group prefix.
     docs = docs.withColumn(
         "doc_id", F.col("doc_id") + F.lit(id_offset).cast("long")
@@ -127,9 +130,13 @@ def build_group(
     docs.persist()
 
     tokens = explode_ja_tokens(docs, "text", "doc_id", lexicon)
-    postings = build_postings(tokens)
-    dstats = doc_stats(tokens)
+    # Postings feed three consumers (segments, doc stats, term stats) —
+    # persist so the tokenize UDF runs exactly once per page. Doc length
+    # is derived from postings (dl = Σ tf), not a second tokenize pass.
+    postings = build_postings(tokens).persist()
+    dstats = postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
 
+    dstats = dstats.persist()
     scored = (
         postings.join(
             docs.select("doc_id", "doc_score", F.col("warc_ts").alias("doc_ts")),
@@ -171,6 +178,9 @@ def build_group(
     n_docs = docs.count()
     sum_dl = doc_out.agg(F.sum("dl")).collect()[0][0] or 0
     docs.unpersist()
+    extracted.unpersist()
+    postings.unpersist()
+    dstats.unpersist()
     return {
         "run_id": run_id,
         "group": group,
@@ -206,6 +216,11 @@ def build_index(
 ) -> list[dict]:
     """Full resumable build. Returns per-group metrics (also persisted)."""
     run_id = run_id or uuid.uuid4().hex[:12]
+    # Persist build config (read by incremental/rescore plans).
+    spark.createDataFrame(
+        [(n_groups, str(now), mode, run_id)],
+        ["n_groups", "now", "mode", "run_id"],
+    ).write.mode("overwrite").parquet(f"{index_dir}/build_meta")
     done = completed_groups(spark, index_dir)
     tagged = pages.withColumn("_group", _group_col(F.col("url"), n_groups))
     metrics = []

@@ -1,0 +1,109 @@
+"""Compaction: fold incremental delta groups + tombstones back into a
+clean segment set (the k-way sorted segment merge, SURVEY §4 custom
+work #3 — the reference delegates this to MongoDB upserts S6).
+
+- merge_segments() joins same-(term, block) segment rows across groups
+  (newest run wins per doc — upsert-replace semantics);
+- tombstoned postings are dropped during the merge re-encode;
+- the docs table is rewritten without tombstoned rows;
+- tombstones are cleared and corpus stats refreshed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from myaku_spark.operators.codec import decode_block, encode_block
+from myaku_spark.operators.segments import SEGMENT_SCHEMA, write_segments
+
+
+def _merge_with_tombstones(deleted: set):
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("run_order")
+        by_doc: dict[int, tuple] = {}
+        for _, row in pdf.iterrows():
+            dec = decode_block(bytes(row["blob"]))
+            pos = dec.get("positions")
+            for i, d in enumerate(dec["doc_ids"]):
+                d = int(d)
+                if d in deleted:
+                    by_doc.pop(d, None)
+                    continue
+                by_doc[d] = (
+                    int(dec["tfs"][i]),
+                    int(dec["scores"][i]) if "scores" in dec else 0,
+                    pos[i] if pos is not None else None,
+                )
+        if not by_doc:
+            return pd.DataFrame(
+                [], columns=[f.name for f in SEGMENT_SCHEMA.fields]
+            )
+        doc_ids = np.array(sorted(by_doc), dtype=np.uint64)
+        tfs = np.array([by_doc[int(d)][0] for d in doc_ids], dtype=np.uint64)
+        scores = np.array([by_doc[int(d)][1] for d in doc_ids], dtype=np.int64)
+        positions = None
+        if by_doc[int(doc_ids[0])][2] is not None:
+            positions = [by_doc[int(d)][2] for d in doc_ids]
+        blob = encode_block(doc_ids, tfs, scores, positions)
+        first = pdf.iloc[-1]
+        return pd.DataFrame(
+            [
+                {
+                    "bucket": int(first["bucket"]),
+                    "term": first["term"],
+                    "block_id": int(first["block_id"]),
+                    "n_postings": len(doc_ids),
+                    "min_doc": int(doc_ids.min()),
+                    "max_doc": int(doc_ids.max()),
+                    "max_tf": int(tfs.max()),
+                    "min_dl": int(pdf["min_dl"].min()),
+                    "max_score": int(scores.max()),
+                    "blob": blob,
+                }
+            ]
+        )
+
+    return merge
+
+
+def compact_index(spark: SparkSession, index_dir: str) -> dict:
+    """Merge all segment groups into group=0, applying tombstones."""
+    from myaku_spark.plans.incremental import load_tombstones
+
+    deleted = load_tombstones(spark, index_dir)
+    segs = spark.read.parquet(f"{index_dir}/segments").withColumn(
+        "run_order", F.col("group").cast("int")
+    )
+    merged = segs.groupBy("term", "block_id").applyInPandas(
+        _merge_with_tombstones(deleted), SEGMENT_SCHEMA
+    )
+    write_segments(merged, f"{index_dir}/segments_compact/group=0")
+    # Swap in atomically-ish: rewrite under segments/.
+    import shutil
+
+    seg_path = f"{index_dir}/segments"
+    shutil.rmtree(seg_path, ignore_errors=True)
+    shutil.move(f"{index_dir}/segments_compact", seg_path)
+
+    docs = spark.read.parquet(f"{index_dir}/docs")
+    if deleted:
+        tomb_df = spark.createDataFrame(
+            [(int(d),) for d in deleted], ["doc_id"]
+        )
+        docs = docs.join(F.broadcast(tomb_df), "doc_id", "left_anti")
+    docs.write.mode("overwrite").parquet(f"{index_dir}/docs_compact")
+    shutil.rmtree(f"{index_dir}/docs", ignore_errors=True)
+    shutil.move(f"{index_dir}/docs_compact", f"{index_dir}/docs")
+    shutil.rmtree(f"{index_dir}/tombstones", ignore_errors=True)
+
+    n_docs = spark.read.parquet(f"{index_dir}/docs").count()
+    stats = spark.read.parquet(f"{index_dir}/docs").agg(
+        F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    spark.createDataFrame(
+        [(n_docs, float(stats.avgdl or 0.0))], ["n_docs", "avgdl"]
+    ).write.mode("overwrite").parquet(f"{index_dir}/corpus_stats")
+    return {"n_docs": n_docs, "tombstones_applied": len(deleted)}

@@ -1,0 +1,139 @@
+"""First-page cache materialization + refresh decision, compaction, and
+physical-plan pruning assertions."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from myaku_spark.operators.topk_cache import (
+    build_first_page,
+    refresh_first_page,
+    stale_terms,
+)
+
+
+@pytest.fixture(scope="module")
+def scored(spark):
+    rows = []
+    # term 'hot': 15 docs, scores 100..1500; term 'cold': 3 docs.
+    for d in range(15):
+        rows.append(("hot", d, (d + 1) * 100))
+    for d in range(3):
+        rows.append(("cold", d + 100, 50 + d))
+    return spark.createDataFrame(rows, ["term", "doc_id", "score"])
+
+
+def test_build_first_page(spark, scored):
+    page = build_first_page(scored, k=10)
+    rows = [r for r in page.collect() if r.term == "hot"]
+    assert len(rows) == 10
+    assert all(r.total_results == 15 for r in rows)
+    best = min(rows, key=lambda r: r.rank)
+    assert best.doc_id == 14 and best.score == 1500
+    # floor of the page = rank 10 → score 600
+    floor = max(rows, key=lambda r: r.rank)
+    assert floor.score == 600
+
+
+def test_stale_terms_decision(spark, scored):
+    cached = build_first_page(scored, k=10)
+    # Delta 1: a posting below the hot page floor → NOT stale.
+    low = spark.createDataFrame([("hot", 999, 10)], ["term", "doc_id", "score"])
+    assert stale_terms(cached, low, k=10).count() == 0
+    # Delta 2: outranks the floor → stale.
+    high = spark.createDataFrame(
+        [("hot", 999, 700)], ["term", "doc_id", "score"]
+    )
+    assert [r.term for r in stale_terms(cached, high, k=10).collect()] == ["hot"]
+    # Delta 3: 'cold' page is not full → any posting marks it stale.
+    coldd = spark.createDataFrame(
+        [("cold", 999, 1)], ["term", "doc_id", "score"]
+    )
+    assert [r.term for r in stale_terms(cached, coldd, k=10).collect()] == [
+        "cold"
+    ]
+    # Delta 4: unseen term → stale (needs caching).
+    new = spark.createDataFrame([("new", 1, 5)], ["term", "doc_id", "score"])
+    assert [r.term for r in stale_terms(cached, new, k=10).collect()] == ["new"]
+
+
+def test_refresh_first_page(spark, scored):
+    cached = build_first_page(scored, k=10)
+    delta = spark.createDataFrame(
+        [("hot", 999, 700)], ["term", "doc_id", "score"]
+    )
+    all_postings = scored.unionByName(delta)
+    refreshed = refresh_first_page(cached, all_postings, delta, k=10)
+    hot = sorted(
+        (r.rank, r.doc_id) for r in refreshed.collect() if r.term == "hot"
+    )
+    assert (9, 999) in hot  # the new doc entered at score 700
+    assert len(hot) == 10
+    cold = [r for r in refreshed.collect() if r.term == "cold"]
+    assert len(cold) == 3  # untouched term kept verbatim
+
+
+def test_compact_merges_and_applies_tombstones(spark, tmp_path):
+    from myaku_spark.operators.search import IndexSearcher
+    from myaku_spark.plans.build_index import build_index
+    from myaku_spark.plans.compact import compact_index
+    from myaku_spark.plans.incremental import incremental_update
+    from myaku_spark.sources.pages import PAGES_SCHEMA, synth_page, synth_pages_df
+
+    import datetime as dt
+
+    d = str(tmp_path / "cidx")
+    pages = synth_pages_df(spark, 40, partitions=4)
+    build_index(spark, pages, d, n_groups=1, now="2026-08-01 00:00:00")
+
+    # Modify 2 urls (new html) → delta group + 2 tombstones.
+    rows = []
+    for i in range(2):
+        p_old, p_new = synth_page(i), synth_page(i + 7000)
+        rows.append(
+            (p_old["url"], dt.datetime(2026, 3, 1), p_new["html"], p_new["text"], "ja")
+        )
+    mod = spark.createDataFrame(rows, PAGES_SCHEMA)
+    incremental_update(spark, d, mod, now="2026-08-01 00:00:00")
+
+    s_before = IndexSearcher(spark, d, mode="myaku")
+    term = (
+        spark.read.parquet(f"{d}/term_stats")
+        .groupBy("term").agg(F.sum("df").alias("df"))
+        .orderBy(F.desc("df")).limit(1).collect()[0].term
+    )
+    before = s_before.search([term], k=30)
+
+    out = compact_index(spark, d)
+    assert out["tombstones_applied"] == 2
+    s_after = IndexSearcher(spark, d, mode="myaku")
+    assert s_after.deleted == set()  # tombstones cleared
+    after = s_after.search([term], k=30)
+    assert after == before  # same results, now without delete vectors
+    # Doc table no longer contains tombstoned ids.
+    n_docs = spark.read.parquet(f"{d}/docs").count()
+    assert n_docs == out["n_docs"]
+
+
+def test_segment_read_partition_pruning(spark, tmp_path):
+    """The term-segment read must prune on the bucket partition column and
+    push the term predicate to parquet (.explain evidence)."""
+    from myaku_spark.operators.segments import read_term_segments
+    from myaku_spark.plans.build_index import build_index
+    from myaku_spark.sources.pages import synth_pages_df
+
+    d = str(tmp_path / "pidx")
+    build_index(
+        spark,
+        synth_pages_df(spark, 30, partitions=2),
+        d,
+        n_groups=1,
+        now="2026-08-01 00:00:00",
+    )
+    term = (
+        spark.read.parquet(f"{d}/term_stats").limit(1).collect()[0].term
+    )
+    df = read_term_segments(spark, f"{d}/segments", [term])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan
+    assert "PushedFilters" in plan and "term" in plan

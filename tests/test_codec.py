@@ -83,6 +83,47 @@ def test_block_with_positions():
     assert "scores" not in out
 
 
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**40),
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=0, max_value=60000),
+                    st.integers(min_value=1, max_value=255),
+                ),
+                min_size=1,
+                max_size=8,
+            ),
+            st.integers(min_value=-5000, max_value=5000),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_encode_block_arrays_matches_encode_block(postings):
+    from myaku_spark.operators.codec import encode_block_arrays
+
+    postings.sort()
+    doc_ids = np.array([p[0] for p in postings], dtype=np.uint64)
+    positions = [sorted(p[1]) for p in postings]
+    tfs = np.array([len(pl) for pl in positions], dtype=np.uint64)
+    scores = np.array([p[2] for p in postings], dtype=np.int64)
+    a = encode_block(doc_ids, tfs, scores, positions)
+    flat_starts = np.array(
+        [s for pl in positions for s, _ in pl], dtype=np.int64
+    )
+    flat_lens = np.array(
+        [ln for pl in positions for _, ln in pl], dtype=np.int64
+    )
+    b = encode_block_arrays(doc_ids, tfs, scores, flat_starts, flat_lens)
+    assert a == b  # byte-identical encodings
+    out = decode_block(b)
+    assert out["positions"] == positions
+
+
 def test_compression_actually_compresses():
     # Dense sequential ids → deltas of 1 → tiny blob.
     n = 10_000

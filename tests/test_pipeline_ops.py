@@ -109,9 +109,16 @@ def test_ann_topk_recall_vs_exact(spark, sf_dir):
         for r in cosine_topk(cand, q, k=3).collect()
     }
     # Self-match: query vector is its own best neighbor when included.
-    ann = ann_topk(cand.unionByName(
-        q.select(F.col("q_id").alias("vec_id"), F.col("q_emb").alias("embedding"))
-    ), q, k=1, n_planes=6).collect()
+    ann = ann_topk(
+        cand.select("vec_id", "embedding").unionByName(
+            q.select(
+                F.col("q_id").alias("vec_id"), F.col("q_emb").alias("embedding")
+            )
+        ),
+        q,
+        k=1,
+        n_planes=6,
+    ).collect()
     hits = sum(1 for r in ann if r.vec_id == r.q_id and r.rank == 1)
     assert hits == 5  # identical vector shares every LSH bucket → found
     assert len(exact) == 15
