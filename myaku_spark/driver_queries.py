@@ -605,6 +605,66 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_pagination_page2(spark, sf_dir):
+    """K2 pagination: page 2 (ranks 11-20) of the rank-key retrieval."""
+    docs = _docs(spark, sf_dir)
+    p = post_ops.build_postings(_tokens(spark, sf_dir))
+    scored = p.join(docs.select("doc_id", "n_chars"), "doc_id").select(
+        "term",
+        "doc_id",
+        (
+            scoring.length_score_col(F.col("n_chars")) * 3
+            + scoring.tf_score_mod_col(F.col("tf"))
+        ).cast("int").alias("score"),
+    )
+    qterms = F.broadcast(
+        spark.createDataFrame([(t,) for t in Q_TOPK_TERMS], ["term"])
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("score"), F.desc("doc_id"))
+    return (
+        scored.join(qterms, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter((F.col("rank") > 10) & (F.col("rank") <= 20))
+        .select("term", "doc_id", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def q_source_stats(spark, sf_dir):
+    """A9 crawl-stats analog: per-source docs/chars/langs."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+    )
+
+
+def q_event_sessions(spark, sf_dir):
+    """Sessionization (gap > 30 min starts a session) — the stateful
+    streaming pattern expressed in batch with window lag."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    marked = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_no",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("ts").alias("session_start"),
+    )
+
+
 QUERIES = {
     "token_positions": q_token_positions,
     "postings_build": q_postings_build,
@@ -637,6 +697,9 @@ QUERIES = {
     "ja_index_postings": q_ja_index_postings,
     "extraction_parity": q_extraction_parity,
     "media_features": q_media_features,
+    "pagination_page2": q_pagination_page2,
+    "source_stats": q_source_stats,
+    "event_sessions": q_event_sessions,
 }
 
 
@@ -853,6 +916,48 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        round(count(DISTINCT term) / count(*), 4) AS ttr_r,
        round(sum(length(term)) / count(*), 4) AS mtl_r
 FROM toks GROUP BY doc_id
+""",
+    "pagination_page2": f"""
+WITH {_SQL_POSTINGS},
+scored AS (
+  SELECT p.term, p.doc_id,
+         CAST(({_SQL_LENGTH_SCORE.format(v="d.n_chars")}) * 3
+              + ({_SQL_TF_MOD.format(v="p.tf")}) AS INT) AS score
+  FROM postings p JOIN documents d USING (doc_id)
+  WHERE p.term IN ({",".join(repr(t) for t in Q_TOPK_TERMS)})
+),
+ranked AS (
+  SELECT term, doc_id, score,
+         row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id DESC) AS rank
+  FROM scored
+)
+SELECT term, doc_id, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank > 10 AND rank <= 20
+""",
+    "source_stats": """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents GROUP BY source
+""",
+    "event_sessions": """
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM marked
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       CAST(count(*) AS BIGINT) AS n_events, min(ts) AS session_start
+FROM sess GROUP BY user_id, session_no
 """,
     "incremental_merge": """
 WITH combined AS (

@@ -127,6 +127,35 @@ _FW_MAXLEN = max(len(w) for w in _FW_SORTED)
 _FW_SET = set(_FW_SORTED)
 
 
+# Compiled run/segment regex: one C-speed pass per block. Groups ordered
+# so classification falls out of lastgroup. Must stay behavior-identical
+# to the per-char _script_class walk (property-tested in test_tokenize).
+import re as _re
+
+# Class ranges mirror _script_class priority: hira/kata are checked
+# before kanji there, so \u30f5\u30f6 (inside the katakana block) stay kata.
+_KANJI = r"\u4e00-\u9fff\u3400-\u4dbf\uf900-\ufaff\u3005\u3006"
+_HIRA = r"\u3041-\u309f"
+_KATA = r"\u30a0-\u30ff\u31f0-\u31ff"
+_RUN_REGEX = _re.compile(
+    f"(?P<hira>[{_HIRA}]+)"
+    f"|(?P<kata>[{_KATA}]+)"
+    f"|(?P<kanji>[{_KANJI}]+)"
+)
+
+_FW_REGEX_CACHE: dict = {}
+
+
+def _fw_regex():
+    key = "fw"
+    if key not in _FW_REGEX_CACHE:
+        # Longest-first alternation ≡ longest-match at each position.
+        _FW_REGEX_CACHE[key] = _re.compile(
+            "|".join(_re.escape(w) for w in _FW_SORTED)
+        )
+    return _FW_REGEX_CACHE[key]
+
+
 def _script_class(ch: str) -> str:
     o = ord(ch)
     if 0x3041 <= o <= 0x309F:
@@ -147,8 +176,9 @@ def _script_class(ch: str) -> str:
     return "sym"
 
 
-def _split_hira_run(run: str, start: int) -> Iterable[tuple[str, int, str]]:
-    """Longest-match function-word segmentation of a hiragana run."""
+def _split_hira_run_slow(run: str, start: int) -> Iterable[tuple[str, int, str]]:
+    """Longest-match function-word segmentation (reference twin of the
+    regex fast path; kept for property testing)."""
     i, n = 0, len(run)
     while i < n:
         matched = None
@@ -170,15 +200,29 @@ def _split_hira_run(run: str, start: int) -> Iterable[tuple[str, int, str]]:
                     if run[j : j + ln] in _FW_SET:
                         hit = True
                         break
+                j += 1 if not hit else 0
                 if hit:
                     break
-                j += 1
             yield run[i:j], start + i, "動詞"
             i = j
 
 
-def tokenize_ja_block(block: str, offset: int) -> list[dict]:
-    """Tokenize one newline-free text block; offsets are absolute."""
+def _split_hira_run(run: str, start: int) -> Iterable[tuple[str, int, str]]:
+    """Regex fast path: leftmost match with longest-first alternation ≡
+    the slow path's longest-match-at-each-position walk."""
+    pos = 0
+    for m in _fw_regex().finditer(run):
+        s, e = m.span()
+        if s > pos:
+            yield run[pos:s], start + pos, "動詞"
+        yield m.group(), start + s, "助詞"
+        pos = e
+    if pos < len(run):
+        yield run[pos:], start + pos, "動詞"
+
+
+def tokenize_ja_block_slow(block: str, offset: int) -> list[dict]:
+    """Per-char reference implementation (property-test twin)."""
     tokens: list[dict] = []
     i, n = 0, len(block)
     while i < n:
@@ -194,7 +238,7 @@ def tokenize_ja_block(block: str, offset: int) -> list[dict]:
                 dict(surface=run, start=offset + i, length=len(run), pos="記号")
             )
         elif cls == "hira":
-            for tok, st, pos in _split_hira_run(run, offset + i):
+            for tok, st, pos in _split_hira_run_slow(run, offset + i):
                 tokens.append(dict(surface=tok, start=st, length=len(tok), pos=pos))
         else:
             pos = {"kanji": "名詞", "kata": "名詞", "alnum": "名詞"}[cls]
@@ -202,6 +246,61 @@ def tokenize_ja_block(block: str, offset: int) -> list[dict]:
                 dict(surface=run, start=offset + i, length=len(run), pos=pos)
             )
         i = j
+    return tokens
+
+
+def _emit_other(seg: str, offset: int, tokens: list) -> None:
+    """Char-wise alnum/sym/space segmentation for non-CJK gaps."""
+    i, n = 0, len(seg)
+    while i < n:
+        ch = seg[i]
+        if ch.isspace():
+            j = i + 1
+            while j < n and seg[j].isspace():
+                j += 1
+        elif ch.isalnum():
+            j = i + 1
+            while j < n and seg[j].isalnum() and not seg[j].isspace():
+                j += 1
+            tokens.append(
+                dict(surface=seg[i:j], start=offset + i, length=j - i, pos="名詞")
+            )
+        else:
+            j = i + 1
+            while j < n and not seg[j].isalnum() and not seg[j].isspace():
+                j += 1
+            tokens.append(
+                dict(surface=seg[i:j], start=offset + i, length=j - i, pos="記号")
+            )
+        i = j
+
+
+def tokenize_ja_block(block: str, offset: int) -> list[dict]:
+    """Tokenize one newline-free block (regex fast path; offsets absolute).
+
+    CJK script runs come from one compiled-regex pass; the (short) gaps
+    between them are segmented char-wise into alnum/symbol/space runs.
+    Behavior-identical to tokenize_ja_block_slow (property-tested)."""
+    tokens: list[dict] = []
+    pos = 0
+    for m in _RUN_REGEX.finditer(block):
+        s, e = m.span()
+        if s > pos:
+            _emit_other(block[pos:s], offset + pos, tokens)
+        kind = m.lastgroup
+        run = m.group()
+        if kind == "hira":
+            for tok, st, p in _split_hira_run(run, offset + s):
+                tokens.append(
+                    dict(surface=tok, start=st, length=len(tok), pos=p)
+                )
+        else:  # kanji / kata
+            tokens.append(
+                dict(surface=run, start=offset + s, length=len(run), pos="名詞")
+            )
+        pos = e
+    if pos < len(block):
+        _emit_other(block[pos:], offset + pos, tokens)
     return tokens
 
 
@@ -298,20 +397,134 @@ def explode_ja_tokens(
     text_col: str = "text",
     id_col: str = "doc_id",
     lexicon: set[str] | None = None,
+    include_analysis: bool = False,
 ) -> DataFrame:
-    """(doc_id, term, start, len, pos, sources) token rows for Japanese."""
-    udf = make_ja_tokens_udf(lexicon)
-    toks = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(udf(F.col(text_col))).alias("t")
+    """Token rows for Japanese: (doc_id, term, start, len[, pos, sources]).
+
+    Emits rows directly from ``mapInPandas`` (Arrow columnar all the way)
+    instead of array<struct> + explode — the latter materializes millions
+    of short-lived JVM structs per batch and caps scaling on the GC.
+    ``include_analysis`` adds the pos/sources analysis columns."""
+    import pandas as pd
+
+    base_cols = ["doc_id", "term", "start", "len"]
+    schema = "doc_id long, term string, start int, len int"
+    if include_analysis:
+        schema += ", pos string, sources array<int>"
+
+    def gen(batches):
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in base_cols}
+            if include_analysis:
+                out["pos"] = []
+                out["sources"] = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                for t in tokenize_ja_text(text, lexicon=lexicon):
+                    out["doc_id"].append(doc_id)
+                    out["term"].append(t["term"])
+                    out["start"].append(t["start"])
+                    out["len"].append(t["length"])
+                    if include_analysis:
+                        out["pos"].append(t["pos"])
+                        out["sources"].append(t.get("sources", [1]))
+            yield pd.DataFrame(out)
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
+    ).mapInPandas(gen, schema)
+
+
+def ja_posting_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lexicon: set[str] | None = None,
+) -> DataFrame:
+    """Tokenize AND reduce per (term, doc) in one mapInPandas pass:
+    (doc_id, term, tf, starts, lens, dl).
+
+    The A1 aggregation (positions set-union + tf per (term, article),
+    datatypes.py:428-505) is doc-LOCAL — the reference reduces it in
+    memory per article (T5). Doing the same inside the tokenizer batch
+    removes the token-level shuffle entirely: only posting rows (≈half
+    the token count) ever leave the stage, and the JVM never materializes
+    per-token structs. ``dl`` (doc length = token count) rides along for
+    BM25 without a second pass.
+
+    Uses mapInArrow with flat-offset ListArray construction — building
+    pandas object-list columns for millions of posting rows costs more
+    than the tokenization itself; RecordBatch assembly from flat numpy
+    buffers is O(postings) with C-side copies only."""
+    import numpy as np
+    import pyarrow as pa
+
+    schema = (
+        "doc_id long, term string, tf int, starts array<int>,"
+        " lens array<int>, dl long"
     )
-    return toks.select(
-        "doc_id",
-        F.col("t.term").alias("term"),
-        F.col("t.start").alias("start"),
-        F.col("t.len").alias("len"),
-        F.col("t.pos").alias("pos"),
-        F.col("t.sources").alias("sources"),
+    arrow_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("term", pa.string()),
+            ("tf", pa.int32()),
+            ("starts", pa.list_(pa.int32())),
+            ("lens", pa.list_(pa.int32())),
+            ("dl", pa.int64()),
+        ]
     )
+
+    def gen(batches):
+        for rb in batches:
+            tbl = rb.to_pydict()
+            doc_ids: list = []
+            terms: list = []
+            tfs: list = []
+            flat_starts: list = []
+            flat_lens: list = []
+            offsets: list = [0]
+            dls: list = []
+            for doc_id, text in zip(tbl[id_col], tbl[text_col]):
+                if text is None:
+                    continue
+                by_term: dict[str, set] = {}
+                n_tokens = 0
+                for t in tokenize_ja_text(text, lexicon=lexicon):
+                    n_tokens += 1
+                    by_term.setdefault(t["term"], set()).add(
+                        (t["start"], t["length"])
+                    )
+                for term, posset in by_term.items():
+                    pos = sorted(posset)
+                    doc_ids.append(doc_id)
+                    terms.append(term)
+                    tfs.append(len(pos))
+                    for p in pos:
+                        flat_starts.append(p[0])
+                        flat_lens.append(p[1])
+                    offsets.append(len(flat_starts))
+                    dls.append(n_tokens)
+            off = pa.array(np.asarray(offsets, dtype=np.int32))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.asarray(doc_ids, dtype=np.int64)),
+                    pa.array(terms, type=pa.string()),
+                    pa.array(np.asarray(tfs, dtype=np.int32)),
+                    pa.ListArray.from_arrays(
+                        off, pa.array(np.asarray(flat_starts, dtype=np.int32))
+                    ),
+                    pa.ListArray.from_arrays(
+                        off, pa.array(np.asarray(flat_lens, dtype=np.int32))
+                    ),
+                    pa.array(np.asarray(dls, dtype=np.int64)),
+                ],
+                schema=arrow_schema,
+            )
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
+    ).mapInArrow(gen, schema)
 
 
 def is_katakana(s: str) -> bool:

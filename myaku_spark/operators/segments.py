@@ -68,47 +68,97 @@ def term_bucket_col(term_col):
 
 
 def _encode_rows(batches):
-    """mapInPandas: one row per (term, block) with pre-aggregated primitive
-    arrays → one segment row. All heavy lifting is numpy over Arrow
-    buffers; no per-posting Python objects."""
-    import pandas as pd  # local import for the executor
+    """mapInArrow: one input row per (term, block) with pre-aggregated
+    primitive-list columns → one segment row. Flat value buffers + list
+    offsets come straight off the Arrow arrays; per-block work is numpy
+    slicing + the vectorized codec — no per-posting Python objects."""
+    import pyarrow as pa
 
     from myaku_spark.operators.codec import encode_block_arrays
 
-    for pdf in batches:
-        out = []
-        has_pos = "pos_starts" in pdf.columns
-        for row in pdf.itertuples(index=False):
-            doc_ids = np.asarray(row.doc_ids, dtype=np.uint64)
-            tfs = np.asarray(row.tfs, dtype=np.uint64)
-            payload = np.asarray(row.payloads, dtype=np.int64)
+    out_schema = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("term", pa.string()),
+            ("block_id", pa.int64()),
+            ("n_postings", pa.int32()),
+            ("min_doc", pa.int64()),
+            ("max_doc", pa.int64()),
+            ("max_tf", pa.int32()),
+            ("min_dl", pa.int64()),
+            ("max_score", pa.int64()),
+            ("blob", pa.binary()),
+        ]
+    )
+
+    def list_parts(col):
+        """(offsets int64 np, flat values np) of a ListArray column."""
+        arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+        offs = np.asarray(arr.offsets)
+        vals = np.asarray(arr.values)
+        return offs, vals
+
+    for rb in batches:
+        n = rb.num_rows
+        if n == 0:
+            continue
+        names = rb.schema.names
+        has_pos = "pos_starts" in names
+        terms = rb.column(names.index("term")).to_pylist()
+        block_ids = np.asarray(rb.column(names.index("block_id")))
+        buckets = np.asarray(rb.column(names.index("bucket")))
+        min_dls = np.asarray(rb.column(names.index("min_dl")))
+        d_off, d_vals = list_parts(rb.column(names.index("doc_ids")))
+        t_off, t_vals = list_parts(rb.column(names.index("tfs")))
+        p_off, p_vals = list_parts(rb.column(names.index("payloads")))
+        if has_pos:
+            # list<list<int32>>: outer offsets per block, inner per posting.
+            ps_outer = rb.column(names.index("pos_starts"))
+            pl_outer = rb.column(names.index("pos_lens"))
+            if hasattr(ps_outer, "combine_chunks"):
+                ps_outer = ps_outer.combine_chunks()
+                pl_outer = pl_outer.combine_chunks()
+            ps_oo = np.asarray(ps_outer.offsets)
+            ps_io = np.asarray(ps_outer.values.offsets)
+            ps_flat = np.asarray(ps_outer.values.values)
+            pl_flat = np.asarray(pl_outer.values.values)
+        blobs, n_post, min_doc, max_doc, max_tf, max_score = (
+            [], [], [], [], [], []
+        )
+        for i in range(n):
+            doc_ids = d_vals[d_off[i] : d_off[i + 1]].astype(np.uint64)
+            tfs = t_vals[t_off[i] : t_off[i + 1]].astype(np.uint64)
+            payload = p_vals[p_off[i] : p_off[i + 1]].astype(np.int64)
             if has_pos:
-                flat_starts = np.concatenate(
-                    [np.asarray(a, dtype=np.int64) for a in row.pos_starts]
-                ) if len(row.pos_starts) else np.empty(0, dtype=np.int64)
-                flat_lens = np.concatenate(
-                    [np.asarray(a, dtype=np.int64) for a in row.pos_lens]
-                ) if len(row.pos_lens) else np.empty(0, dtype=np.int64)
+                lo = ps_io[ps_oo[i]]
+                hi = ps_io[ps_oo[i + 1]]
+                flat_starts = ps_flat[lo:hi].astype(np.int64)
+                flat_lens = pl_flat[lo:hi].astype(np.int64)
             else:
                 flat_starts = flat_lens = None
-            blob = encode_block_arrays(
-                doc_ids, tfs, payload, flat_starts, flat_lens
+            blobs.append(
+                encode_block_arrays(doc_ids, tfs, payload, flat_starts, flat_lens)
             )
-            out.append(
-                {
-                    "bucket": int(row.bucket),
-                    "term": row.term,
-                    "block_id": int(row.block_id),
-                    "n_postings": int(doc_ids.size),
-                    "min_doc": int(doc_ids.min()),
-                    "max_doc": int(doc_ids.max()),
-                    "max_tf": int(tfs.max()),
-                    "min_dl": int(row.min_dl),
-                    "max_score": int(payload.max()),
-                    "blob": blob,
-                }
-            )
-        yield pd.DataFrame(out)
+            n_post.append(doc_ids.size)
+            min_doc.append(int(doc_ids[0]))
+            max_doc.append(int(doc_ids[-1]))
+            max_tf.append(int(tfs.max()))
+            max_score.append(int(payload.max()))
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(buckets.astype(np.int32)),
+                pa.array(terms, type=pa.string()),
+                pa.array(block_ids.astype(np.int64)),
+                pa.array(np.asarray(n_post, dtype=np.int32)),
+                pa.array(np.asarray(min_doc, dtype=np.int64)),
+                pa.array(np.asarray(max_doc, dtype=np.int64)),
+                pa.array(np.asarray(max_tf, dtype=np.int32)),
+                pa.array(min_dls.astype(np.int64)),
+                pa.array(np.asarray(max_score, dtype=np.int64)),
+                pa.array(blobs, type=pa.binary()),
+            ],
+            schema=out_schema,
+        )
 
 
 def build_segments(
@@ -136,10 +186,16 @@ def build_segments(
     tail = p.filter(F.col("df") <= head_df_threshold).withColumn(
         "block_id", F.lit(0).cast("long")
     )
+    # Positions arrive either as struct arrays ('positions') or as
+    # pre-split primitive arrays ('starts'/'lens', the ja_posting_rows
+    # fast path).
+    has_struct_pos = with_positions and "positions" in p.columns
+    has_flat_pos = with_positions and "starts" in p.columns
     cols = ["bucket", "term", "block_id", "doc_id", "tf", "payload"]
-    has_pos = with_positions and "positions" in p.columns
-    if has_pos:
+    if has_struct_pos:
         cols.append("positions")
+    if has_flat_pos:
+        cols += ["starts", "lens"]
     has_dl = "dl" in p.columns
     if has_dl:
         cols.append("dl")
@@ -149,8 +205,10 @@ def build_segments(
     # (term, block), then peel aligned primitive arrays with transform()
     # so Arrow ships plain int lists (no per-posting Python objects).
     struct_fields = [F.col("doc_id"), F.col("tf"), F.col("payload")]
-    if has_pos:
+    if has_struct_pos:
         struct_fields.append(F.col("positions"))
+    if has_flat_pos:
+        struct_fields += [F.col("starts"), F.col("lens")]
     agg = both.groupBy("term", "block_id").agg(
         F.first("bucket").alias("bucket"),
         (F.min("dl") if has_dl else F.min(F.lit(0))).alias("min_dl"),
@@ -165,7 +223,7 @@ def build_segments(
         F.expr("transform(plist, x -> x.tf)").alias("tfs"),
         F.expr("transform(plist, x -> x.payload)").alias("payloads"),
     ]
-    if has_pos:
+    if has_struct_pos:
         sel.append(
             F.expr(
                 "transform(plist, x -> transform(x.positions, p -> p.start))"
@@ -176,7 +234,20 @@ def build_segments(
                 "transform(plist, x -> transform(x.positions, p -> p.len))"
             ).alias("pos_lens")
         )
-    return agg.select(*sel).mapInPandas(_encode_rows, SEGMENT_SCHEMA)
+    elif has_flat_pos:
+        sel.append(F.expr("transform(plist, x -> x.starts)").alias("pos_starts"))
+        sel.append(F.expr("transform(plist, x -> x.lens)").alias("pos_lens"))
+    # NOTE: doc-range head blocking assumes DENSE doc ids (ids.py);
+    # sparse/hashed ids would fragment head terms into 1-posting blocks.
+    # The explicit repartition spreads the CPU-bound encode across all
+    # cores — measured 1.6x faster than relying on AQE's byte-based
+    # post-shuffle sizing for this stage.
+    par = both.sparkSession.sparkContext.defaultParallelism
+    return (
+        agg.select(*sel)
+        .repartition(par * 2)
+        .mapInArrow(_encode_rows, SEGMENT_SCHEMA)
+    )
 
 
 def write_segments(segments: DataFrame, path: str, mode: str = "overwrite"):

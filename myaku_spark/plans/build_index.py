@@ -41,9 +41,8 @@ from pyspark.sql import functions as F
 
 from myaku_spark.functions.html_extract import extract_text_udf
 from myaku_spark.functions.textfns import alnum_count_udf, text_hash_col
-from myaku_spark.functions.tokenize import explode_ja_tokens
+from myaku_spark.functions.tokenize import ja_posting_rows
 from myaku_spark.operators.ids import assign_doc_ids
-from myaku_spark.operators.postings import build_postings, doc_stats
 from myaku_spark.operators.scoring import (
     article_quality_score_col,
     tf_score_mod_col,
@@ -82,6 +81,9 @@ def extract_and_dedupe(pages: DataFrame, source_col=None) -> DataFrame:
         .filter(F.col("text").isNotNull())
         .filter(F.length("text") <= MAX_DOC_LEN)  # P9
         .withColumn("text_hash", text_hash_col(F.col("text")))
+        # Drop the raw bytes BEFORE the dedup shuffle — html is dead
+        # weight from here on and would double the shuffle volume.
+        .drop("html", "text_extracted")
     )
     # First-writer-wins dedup on content hash (index_build.py:116-143):
     # earliest (warc_ts, url) keeps the doc.
@@ -91,7 +93,7 @@ def extract_and_dedupe(pages: DataFrame, source_col=None) -> DataFrame:
     return (
         docs.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "text_extracted", "html")
+        .drop("_rn")
     )
 
 
@@ -116,7 +118,8 @@ def build_group(
     # runs a bucket-count action, which would otherwise re-run the
     # extract UDF + dedup shuffle a second time.
     extracted = extract_and_dedupe(pages_group).persist()
-    docs = assign_doc_ids(extracted, ["warc_ts", "url"])
+    par = spark.sparkContext.defaultParallelism
+    docs = assign_doc_ids(extracted, ["warc_ts", "url"]).repartition(par * 2)
     # Group-local ids are made globally unique by a group prefix.
     docs = docs.withColumn(
         "doc_id", F.col("doc_id") + F.lit(id_offset).cast("long")
@@ -129,12 +132,11 @@ def build_group(
     )
     docs.persist()
 
-    tokens = explode_ja_tokens(docs, "text", "doc_id", lexicon)
-    # Postings feed three consumers (segments, doc stats, term stats) —
-    # persist so the tokenize UDF runs exactly once per page. Doc length
-    # is derived from postings (dl = Σ tf), not a second tokenize pass.
-    postings = build_postings(tokens).persist()
-    dstats = postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    # Tokenize + per-doc posting reduce in ONE mapInPandas pass (A1 is
+    # doc-local, so no token-level shuffle exists at all); postings feed
+    # three consumers (segments, doc stats, term stats) → persist.
+    postings = ja_posting_rows(docs, "text", "doc_id", lexicon).persist()
+    dstats = postings.groupBy("doc_id").agg(F.first("dl").alias("dl"))
 
     dstats = dstats.persist()
     scored = (
@@ -144,8 +146,7 @@ def build_group(
         )
         .withColumn("score_mod", tf_score_mod_col(F.col("tf")))
         .withColumn("score", (F.col("doc_score") + F.col("score_mod")).cast("long"))
-        .join(dstats, "doc_id")
-    )
+    )  # dl already rides on each posting row
     segments = build_segments(
         scored, payload_col="score" if mode == "myaku" else "dl"
     )

@@ -126,21 +126,28 @@ def synth_page(i: int, paras_min: int = 2, paras_max: int = 6) -> dict:
 
 
 def synth_pages_df(
-    spark: SparkSession, n: int, partitions: int | None = None
+    spark: SparkSession,
+    n: int,
+    partitions: int | None = None,
+    paras: tuple[int, int] = (2, 6),
 ) -> DataFrame:
     """Deterministic pages table of n rows, generated in parallel.
 
     Generation happens executor-side via mapInPandas over an id range, so
     a 10^12-row table is just a bigger range — no driver materialization.
+    ``paras`` sets the per-page paragraph count range; (10, 30) yields
+    ~2-3 KB of text per page (Common-Crawl-like), the default (2, 6)
+    keeps unit tests fast.
     """
     import pandas as pd
 
     parts = partitions or max(8, n // 5000)
     base = spark.range(0, n, 1, parts)
+    lo, hi = paras
 
     def gen(batches):
         for pdf in batches:
-            rows = [synth_page(int(i)) for i in pdf["id"]]
+            rows = [synth_page(int(i), lo, hi) for i in pdf["id"]]
             yield pd.DataFrame(rows)
 
     return base.mapInPandas(gen, PAGES_SCHEMA)

@@ -36,6 +36,11 @@ def main() -> None:
     ap.add_argument(
         "--bench", action="store_true", help="remove the index afterwards"
     )
+    ap.add_argument(
+        "--paras",
+        default="2,6",
+        help="synth page paragraph range lo,hi (10,30 ≈ real web pages)",
+    )
     args = ap.parse_args()
 
     from myaku_spark.plans.build_index import build_index
@@ -47,7 +52,10 @@ def main() -> None:
     out = args.out or tempfile.mkdtemp(prefix="myaku_idx_")
 
     if args.synth:
-        pages = synth_pages_df(spark, args.synth, partitions=max(cpus, 8))
+        lo, hi = (int(x) for x in args.paras.split(","))
+        pages = synth_pages_df(
+            spark, args.synth, partitions=max(cpus, 8) * 2, paras=(lo, hi)
+        )
     else:
         pages = read_pages(spark, args.pages)
 

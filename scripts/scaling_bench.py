@@ -21,7 +21,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_build(n_pages: int, cpus: int, n_groups: int) -> dict:
+def run_build(n_pages: int, cpus: int, n_groups: int, paras: str) -> dict:
     cmd = [
         sys.executable,
         os.path.join(REPO, "scripts/run_build.py"),
@@ -31,6 +31,8 @@ def run_build(n_pages: int, cpus: int, n_groups: int) -> dict:
         str(n_groups),
         "--cpus",
         str(cpus),
+        "--paras",
+        paras,
         "--bench",
     ]
     out = subprocess.run(
@@ -44,16 +46,22 @@ def run_build(n_pages: int, cpus: int, n_groups: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n-pages", type=int, default=100000)
+    ap.add_argument("--n-pages", type=int, default=150000)
     ap.add_argument("--base-cpus", type=int, default=8)
     ap.add_argument("--n-groups", type=int, default=1)
+    ap.add_argument(
+        "--paras",
+        default="10,30",
+        help="synth paragraph range; 10,30 ≈ 2-3KB/page (CC-like)",
+    )
     args = ap.parse_args()
 
-    lo = run_build(args.n_pages, args.base_cpus, args.n_groups)
-    hi = run_build(args.n_pages, args.base_cpus * 4, args.n_groups)
+    lo = run_build(args.n_pages, args.base_cpus, args.n_groups, args.paras)
+    hi = run_build(args.n_pages, args.base_cpus * 4, args.n_groups, args.paras)
     eff = hi["docs_per_sec"] / (4 * lo["docs_per_sec"])
     result = {
         "n_pages": args.n_pages,
+        "paras": args.paras,
         "base_cpus": args.base_cpus,
         "throughput_n": lo["docs_per_sec"],
         "throughput_4n": hi["docs_per_sec"],

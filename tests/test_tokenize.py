@@ -67,6 +67,58 @@ def test_term_width_normalized():
     assert "テストA1" in terms
 
 
+def test_fast_tokenizer_equals_slow():
+    """Regex fast path ≡ per-char reference walk (property test)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from myaku_spark.functions.tokenize import (
+        tokenize_ja_block,
+        tokenize_ja_block_slow,
+    )
+
+    alphabet = st.sampled_from(
+        list("漢字猫犬ですますけれどもだからしかのはがをにとカタカナー、。abc12 　ｶﾞ！?ヵヶ々〆ㇰ")
+    )
+
+    @given(st.text(alphabet=alphabet, max_size=60))
+    @settings(max_examples=300, deadline=None)
+    def check(s):
+        assert tokenize_ja_block(s, 7) == tokenize_ja_block_slow(s, 7)
+
+    check()
+
+
+def test_ja_posting_rows_matches_relational_path(spark):
+    """Fused doc-local reduce == explode + groupBy posting build."""
+    from pyspark.sql import functions as F
+
+    from myaku_spark.functions.tokenize import (
+        explode_ja_tokens,
+        ja_posting_rows,
+    )
+    from myaku_spark.operators.postings import build_postings
+
+    rows = [
+        (1, "桜の森の満開の下。山賊は桜が怖い。\n\n山賊けれども山賊"),
+        (2, "吾輩は猫である。名前はまだ無い。"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fused = {
+        (r.doc_id, r.term): (r.tf, list(zip(r.starts, r.lens)))
+        for r in ja_posting_rows(df).collect()
+    }
+    relational = {
+        (r.doc_id, r.term): (
+            r.tf,
+            [(p["start"], p["len"]) for p in r.positions],
+        )
+        for r in build_postings(explode_ja_tokens(df)).collect()
+    }
+    assert fused == relational
+
+
 def test_whitespace_tokens_offsets(spark):
     df = spark.createDataFrame(
         [(1, "ab cd  ef"), (2, "x")], ["doc_id", "text"]
