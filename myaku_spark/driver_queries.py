@@ -665,6 +665,70 @@ def q_event_sessions(spark, sf_dir):
     )
 
 
+def _tbl(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q_tpch_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary (general relational breadth)."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2026-06-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+def q_tpch_revenue_topk(spark, sf_dir):
+    """TPC-H Q3-shaped join + top-k: revenue by order over a 3-way join
+    (broadcast dims, shuffle fact)."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    o = _tbl(spark, sf_dir, "orders")
+    c = _tbl(spark, sf_dir, "customer")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.desc("revenue"), F.desc("l_orderkey"))
+    return (
+        rev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("l_orderkey", "o_orderdate", "revenue", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def q_region_rollup(spark, sf_dir):
+    """Dimension join rollup: customers + balances per region (broadcast
+    snowflake joins, J2-style)."""
+    c = _tbl(spark, sf_dir, "customer")
+    n = _tbl(spark, sf_dir, "nation")
+    r = _tbl(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
 QUERIES = {
     "token_positions": q_token_positions,
     "postings_build": q_postings_build,
@@ -700,6 +764,9 @@ QUERIES = {
     "pagination_page2": q_pagination_page2,
     "source_stats": q_source_stats,
     "event_sessions": q_event_sessions,
+    "tpch_pricing_summary": q_tpch_pricing_summary,
+    "tpch_revenue_topk": q_tpch_revenue_topk,
+    "region_rollup": q_region_rollup,
 }
 
 
@@ -958,6 +1025,40 @@ sess AS (
 SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
        CAST(count(*) AS BIGINT) AS n_events, min(ts) AS session_start
 FROM sess GROUP BY user_id, session_no
+""",
+    "tpch_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= '2026-06-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "tpch_revenue_topk": """
+WITH rev AS (
+  SELECT l_orderkey, o_orderdate,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+  GROUP BY l_orderkey, o_orderdate
+),
+ranked AS (
+  SELECT l_orderkey, o_orderdate, revenue,
+         row_number() OVER (ORDER BY revenue DESC, l_orderkey DESC) AS rank
+  FROM rev
+)
+SELECT l_orderkey, o_orderdate, revenue, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10
+""",
+    "region_rollup": """
+SELECT r_name, CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(c_acctbal), 2) AS total_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
 """,
     "incremental_merge": """
 WITH combined AS (

@@ -37,11 +37,19 @@ def get_spark(
     pp = os.environ.get("PYTHONPATH", "")
     if repo_dir not in pp.split(":"):
         os.environ["PYTHONPATH"] = f"{repo_dir}:{pp}" if pp else repo_dir
+    builder = SparkSession.builder.appName(app_name)
+    # Under spark-submit (gateway already launched with --master from the
+    # CLI — a real cluster or explicit local[N]) the submitted master
+    # wins; standalone invocations get local[parallelism].
+    under_spark_submit = (
+        "PYSPARK_GATEWAY_PORT" in os.environ
+        or "--master" in os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+    )
+    if not under_spark_submit:
+        builder = builder.master(f"local[{parallelism}]")
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{parallelism}]")
+        builder
         .config("spark.sql.shuffle.partitions", str(max(parallelism, 8)))
-        .config("spark.default.parallelism", str(parallelism))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # Don't let AQE coalesce far below the core count: our
