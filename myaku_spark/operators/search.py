@@ -58,10 +58,36 @@ class IndexSearcher:
             avgdl=self.avgdl,
         )
 
+    _CACHE_MAX_TERMS = 256
+
     def _cursors(self, terms: list[str]):
-        rows = read_term_segments(
-            self.spark, f"{self.index_dir}/segments", terms
-        ).collect()
+        """Segment rows per term, with a driver-side LRU over raw rows.
+
+        The analog of the reference's user next-page cache
+        (cache.py:316-459): repeated/paginated queries skip the segment
+        read entirely. Cursors are rebuilt per query (they are stateful
+        iterators); only the immutable segment rows are cached."""
+        if not hasattr(self, "_row_cache"):
+            from collections import OrderedDict
+
+            self._row_cache = OrderedDict()
+        missing = [t for t in terms if t not in self._row_cache]
+        if missing:
+            rows = read_term_segments(
+                self.spark, f"{self.index_dir}/segments", missing
+            ).collect()
+            by_term: dict[str, list] = {t: [] for t in missing}
+            for r in rows:
+                by_term.setdefault(r.term, []).append(r)
+            for t in missing:
+                self._row_cache[t] = by_term.get(t, [])
+            while len(self._row_cache) > self._CACHE_MAX_TERMS:
+                self._row_cache.popitem(last=False)
+        rows = []
+        for t in terms:
+            if t in self._row_cache:
+                self._row_cache.move_to_end(t)
+                rows.extend(self._row_cache[t])
         return cursors_from_segments(
             rows, self._scorer_factory(terms), deleted=self.deleted or None
         )
