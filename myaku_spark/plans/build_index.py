@@ -107,6 +107,7 @@ def build_group(
     lexicon: set | None = None,
     id_offset: int = 0,
     mode: str = "myaku",
+    with_analysis: bool = False,
 ) -> dict:
     """Build one partition group end-to-end; returns its metrics row.
 
@@ -163,6 +164,21 @@ def build_group(
     )
     doc_out.write.mode("overwrite").parquet(f"{index_dir}/docs/group={group}")
 
+    if with_analysis:
+        # Interp-analysis sidecar (§1.3 posting fields the reference keeps
+        # in its FLI docs: per-position interp sources, datatypes.py:307-
+        # 342). Stored as token rows (doc_id, term, start, len, pos,
+        # sources) so interp_position_map-style lookups are a filter; the
+        # extra tokenize pass runs only when analysis is requested.
+        from myaku_spark.functions.tokenize import explode_ja_tokens
+
+        analysis = explode_ja_tokens(
+            docs, "text", "doc_id", lexicon, include_analysis=True
+        )
+        analysis.write.mode("overwrite").parquet(
+            f"{index_dir}/analysis/group={group}"
+        )
+
     tstats = postings.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df"),
         F.sum("tf").cast("long").alias("cf"),
@@ -214,6 +230,7 @@ def build_index(
     lexicon: set | None = None,
     run_id: str | None = None,
     mode: str = "myaku",
+    with_analysis: bool = False,
 ) -> list[dict]:
     """Full resumable build. Returns per-group metrics (also persisted)."""
     run_id = run_id or uuid.uuid4().hex[:12]
@@ -239,6 +256,7 @@ def build_index(
             lexicon,
             id_offset=g * (1 << 40),
             mode=mode,
+            with_analysis=with_analysis,
         )
         metrics.append(row)
         spark.createDataFrame([row]).withColumn(
