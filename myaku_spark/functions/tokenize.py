@@ -9,31 +9,39 @@ Two engines, one output contract (the ``token`` struct):
    can replay it.
 
 2. ``ja_tokens_udf`` — Arrow-vectorized pandas UDF for Japanese text.
-   Reproduces the reference *pipeline shape* (T1 block split with running
-   offsets, japanese_analysis.py:172-211; width normalization of base
-   forms, datatypes.py:399-405; symbol-token filter P10,
-   japanese_analysis.py:371-384; JMdict-style n-gram meta lexical items
-   T4, japanese_analysis.py:248-369) with a deterministic pure-Python
-   segmenter, since MeCab/ipadic-NEologd are not installable in this
-   environment. Segmentation is unicode-script-run based with a
-   longest-match function-word lexicon; the dictionary is pluggable so a
-   MeCab backend can be dropped in for byte-parity when available
-   (dictionary version is part of the index contract, see
-   japanese_analysis.py:50-66).
+   Reproduces the reference *pipeline* (T1 block split with running
+   offsets, japanese_analysis.py:172-211; MeCab-style dictionary
+   tokenization with base forms T2, japanese_analysis.py:919-1059;
+   known-problem tag adjustment T3, :934-940 — encoded in the lexicon's
+   な entry; three-key JMdict meta lexical items T4, :248-369; width
+   normalization of base forms, datatypes.py:399-405; symbol-token
+   filter P10, :371-384) with a deterministic dictionary tokenizer:
+   longest-leftmost match over a curated, versioned word lexicon
+   (ja_lexicon.py — the ipadic-NEologd analog), falling back to
+   unicode-script-run segmentation between dictionary matches. A MeCab
+   backend can be dropped in for full-vocabulary parity when available;
+   dictionary version is part of the index contract
+   (japanese_analysis.py:50-66).
 
-Token struct: (surface, term, start, len, pos, sources)
-  - term = width-normalized base form (the posting key)
-  - start/len = char offsets into the document text (ArticleTextPosition,
-    datatypes.py:115-131)
-  - pos = coarse part-of-speech tag ('記号' rows are droppable per P10)
-  - sources = interp source codes (1=MECAB-style segmenter,
-    2=DICT_DECOMP, 3=DICT_SURFACE, 4=DICT_BASE; datatypes.py:33-54)
+Token dict: (surface, base, term, start, length, pos, sources, entry_id)
+  - base = dictionary base form (MeCab chasen tag 3 analog); defaults to
+    the surface for out-of-vocabulary runs
+  - term = width-normalized base form (the posting key,
+    datatypes.py:399-405)
+  - start/length = char offsets into the document text
+    (ArticleTextPosition, datatypes.py:115-131)
+  - pos = '-'-joined ipadic-style POS ('助詞-接続助詞'); None for JMdict
+    meta items (which carry no MeCab interp, japanese_analysis.py:352-360)
+  - sources = interp source codes (1=MECAB-analog tagger,
+    2=JMDICT_MECAB_DECOMP, 3=JMDICT_SURFACE_FORM, 4=JMDICT_BASE_FORM;
+    datatypes.py:33-54)
+  - entry_id = JMdict entry id for meta items, else None
 """
 
 from __future__ import annotations
 
+import re as _re
 import unicodedata
-from typing import Iterable
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -46,16 +54,25 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from myaku_spark.functions.ja_lexicon import (  # noqa: F401 (re-export)
+    JA_FUNCTION_WORDS,
+    JA_LEXICON_VERSION,
+    JaDictionary,
+    JMdictSubset,
+    resolve_dictionary,
+)
 from myaku_spark.functions.widthnorm import normalize_char_width
 
 TOKEN_SCHEMA = StructType(
     [
         StructField("surface", StringType()),
         StructField("term", StringType()),
+        StructField("base", StringType()),
         StructField("start", IntegerType()),
         StructField("len", IntegerType()),
         StructField("pos", StringType()),
         StructField("sources", ArrayType(IntegerType())),
+        StructField("entry_id", StringType()),
     ]
 )
 
@@ -104,56 +121,19 @@ def explode_whitespace_tokens(
 
 
 # ---------------------------------------------------------------------------
-# 2. Japanese tokenizer — deterministic script-run segmenter + lexicon.
+# 2. Japanese tokenizer — dictionary longest-match + script-run fallback.
 # ---------------------------------------------------------------------------
 
-# Function words / auxiliaries for hiragana-run refinement (longest match).
-# This plays the role of the MeCab dictionary's closed-class entries; it is
-# intentionally small and versioned (the index contract pins it).
-JA_FUNCTION_WORDS = [
-    "けれども", "だから", "しかし", "そして", "ところが", "それでも",
-    "ですから", "ながら", "について", "における", "によって", "として",
-    "という", "ばかり", " まで", "など", "だけ", "でも", "から", "まで",
-    "より", "ほど", "でした", "ました", "ません", "ている", "ていた",
-    "です", "ます", "した", "ない", "なら", "ので", "のに", "こと",
-    "もの", "それ", "これ", "あれ", "ここ", "そこ", "は", "が", "を",
-    "に", "で", "と", "も", "の", "へ", "や", "か", "な", "だ", "た",
-    "て", "し", "う", "よ", "ね", "ぞ",
-]
-JA_LEXICON_VERSION = "builtin-fw-1"
-
-_FW_SORTED = sorted({w.strip() for w in JA_FUNCTION_WORDS}, key=len, reverse=True)
-_FW_MAXLEN = max(len(w) for w in _FW_SORTED)
-_FW_SET = set(_FW_SORTED)
-
-
-# Compiled run/segment regex: one C-speed pass per block. Groups ordered
-# so classification falls out of lastgroup. Must stay behavior-identical
-# to the per-char _script_class walk (property-tested in test_tokenize).
-import re as _re
-
 # Class ranges mirror _script_class priority: hira/kata are checked
-# before kanji there, so \u30f5\u30f6 (inside the katakana block) stay kata.
-_KANJI = r"\u4e00-\u9fff\u3400-\u4dbf\uf900-\ufaff\u3005\u3006"
-_HIRA = r"\u3041-\u309f"
-_KATA = r"\u30a0-\u30ff\u31f0-\u31ff"
+# before kanji there, so ヵヶ (inside the katakana block) stay kata.
+_KANJI = r"一-鿿㐀-䶿豈-﫿々〆"
+_HIRA = r"ぁ-ゟ"
+_KATA = r"゠-ヿㇰ-ㇿ"
 _RUN_REGEX = _re.compile(
     f"(?P<hira>[{_HIRA}]+)"
     f"|(?P<kata>[{_KATA}]+)"
     f"|(?P<kanji>[{_KANJI}]+)"
 )
-
-_FW_REGEX_CACHE: dict = {}
-
-
-def _fw_regex():
-    key = "fw"
-    if key not in _FW_REGEX_CACHE:
-        # Longest-first alternation ≡ longest-match at each position.
-        _FW_REGEX_CACHE[key] = _re.compile(
-            "|".join(_re.escape(w) for w in _FW_SORTED)
-        )
-    return _FW_REGEX_CACHE[key]
 
 
 def _script_class(ch: str) -> str:
@@ -176,81 +156,11 @@ def _script_class(ch: str) -> str:
     return "sym"
 
 
-def _split_hira_run_slow(run: str, start: int) -> Iterable[tuple[str, int, str]]:
-    """Longest-match function-word segmentation (reference twin of the
-    regex fast path; kept for property testing)."""
-    i, n = 0, len(run)
-    while i < n:
-        matched = None
-        for ln in range(min(_FW_MAXLEN, n - i), 0, -1):
-            cand = run[i : i + ln]
-            if cand in _FW_SET:
-                matched = cand
-                break
-        if matched:
-            yield matched, start + i, "助詞"
-            i += len(matched)
-        else:
-            # Consume up to the next function-word boundary as one content
-            # token (keeps segmentation deterministic and reversible).
-            j = i + 1
-            while j < n:
-                hit = False
-                for ln in range(min(_FW_MAXLEN, n - j), 0, -1):
-                    if run[j : j + ln] in _FW_SET:
-                        hit = True
-                        break
-                j += 1 if not hit else 0
-                if hit:
-                    break
-            yield run[i:j], start + i, "動詞"
-            i = j
-
-
-def _split_hira_run(run: str, start: int) -> Iterable[tuple[str, int, str]]:
-    """Regex fast path: leftmost match with longest-first alternation ≡
-    the slow path's longest-match-at-each-position walk."""
-    pos = 0
-    for m in _fw_regex().finditer(run):
-        s, e = m.span()
-        if s > pos:
-            yield run[pos:s], start + pos, "動詞"
-        yield m.group(), start + s, "助詞"
-        pos = e
-    if pos < len(run):
-        yield run[pos:], start + pos, "動詞"
-
-
-def tokenize_ja_block_slow(block: str, offset: int) -> list[dict]:
-    """Per-char reference implementation (property-test twin)."""
-    tokens: list[dict] = []
-    i, n = 0, len(block)
-    while i < n:
-        cls = _script_class(block[i])
-        j = i + 1
-        while j < n and _script_class(block[j]) == cls:
-            j += 1
-        run = block[i:j]
-        if cls == "space":
-            pass
-        elif cls == "sym":
-            tokens.append(
-                dict(surface=run, start=offset + i, length=len(run), pos="記号")
-            )
-        elif cls == "hira":
-            for tok, st, pos in _split_hira_run_slow(run, offset + i):
-                tokens.append(dict(surface=tok, start=st, length=len(tok), pos=pos))
-        else:
-            pos = {"kanji": "名詞", "kata": "名詞", "alnum": "名詞"}[cls]
-            tokens.append(
-                dict(surface=run, start=offset + i, length=len(run), pos=pos)
-            )
-        i = j
-    return tokens
+_GAP_POS = {"kanji": "名詞", "kata": "名詞", "hira": "動詞"}
 
 
 def _emit_other(seg: str, offset: int, tokens: list) -> None:
-    """Char-wise alnum/sym/space segmentation for non-CJK gaps."""
+    """Char-wise alnum/sym/space segmentation for non-CJK gap text."""
     i, n = 0, len(seg)
     while i < n:
         ch = seg[i]
@@ -273,100 +183,238 @@ def _emit_other(seg: str, offset: int, tokens: list) -> None:
                 dict(surface=seg[i:j], start=offset + i, length=j - i, pos="記号")
             )
         i = j
+    return None
 
 
-def tokenize_ja_block(block: str, offset: int) -> list[dict]:
-    """Tokenize one newline-free block (regex fast path; offsets absolute).
+def _emit_gap(seg: str, offset: int, tokens: list) -> None:
+    """Script-run segmentation of text between dictionary matches.
 
-    CJK script runs come from one compiled-regex pass; the (short) gaps
-    between them are segmented char-wise into alnum/symbol/space runs.
-    Behavior-identical to tokenize_ja_block_slow (property-tested)."""
-    tokens: list[dict] = []
+    One compiled-regex pass finds CJK runs; the short remainders between
+    them are segmented char-wise into alnum/symbol/space runs. Gap runs
+    are out-of-vocabulary: base = surface, pos by script class."""
     pos = 0
-    for m in _RUN_REGEX.finditer(block):
+    for m in _RUN_REGEX.finditer(seg):
         s, e = m.span()
         if s > pos:
-            _emit_other(block[pos:s], offset + pos, tokens)
-        kind = m.lastgroup
-        run = m.group()
-        if kind == "hira":
-            for tok, st, p in _split_hira_run(run, offset + s):
-                tokens.append(
-                    dict(surface=tok, start=st, length=len(tok), pos=p)
-                )
-        else:  # kanji / kata
-            tokens.append(
-                dict(surface=run, start=offset + s, length=len(run), pos="名詞")
+            _emit_other(seg[pos:s], offset + pos, tokens)
+        tokens.append(
+            dict(
+                surface=m.group(),
+                start=offset + s,
+                length=e - s,
+                pos=_GAP_POS[m.lastgroup],
             )
+        )
+        pos = e
+    if pos < len(seg):
+        _emit_other(seg[pos:], offset + pos, tokens)
+
+
+def _sentence_initial(block: str, i: int) -> bool:
+    """MeCab-lattice analog: a conjunction reading wins at sentence
+    starts — block start or right after a symbol/space character
+    (derived from the reference golden interp expectations,
+    test_crawl.py:1104-1203)."""
+    return i == 0 or _script_class(block[i - 1]) in ("sym", "space")
+
+
+def tokenize_ja_block(
+    block: str, offset: int, dictionary: JaDictionary | None = None
+) -> list[dict]:
+    """Tokenize one newline-free block (offsets absolute, symbols kept).
+
+    Dictionary surfaces are matched longest-leftmost (one compiled-regex
+    pass; alternation is sorted longest-first, so the leftmost match is
+    also the longest at its position); the gaps between matches are
+    script-run segmented. Out-of-vocabulary tokens get base = surface."""
+    d = dictionary if dictionary is not None else resolve_dictionary(None)
+    tokens: list[dict] = []
+    pos = 0
+    for m in d.regex.finditer(block):
+        s, e = m.span()
+        if s > pos:
+            _emit_gap(block[pos:s], offset + pos, tokens)
+        pieces = d.pieces_for(m.group(), _sentence_initial(block, s))
+        cur = s
+        for psurf, pbase, ppos in pieces:
+            tokens.append(
+                dict(
+                    surface=psurf,
+                    base=pbase,
+                    start=offset + cur,
+                    length=len(psurf),
+                    pos=ppos,
+                )
+            )
+            cur += len(psurf)
         pos = e
     if pos < len(block):
-        _emit_other(block[pos:], offset + pos, tokens)
+        _emit_gap(block[pos:], offset + pos, tokens)
+    for t in tokens:
+        t.setdefault("base", t["surface"])
     return tokens
 
 
-def _dict_ngram_items(
-    toks: list[dict], lexicon: set[str], max_len: int
-) -> Iterable[dict]:
-    """JMdict-style meta lexical items (T4, japanese_analysis.py:248-369).
+def tokenize_ja_block_slow(
+    block: str, offset: int, dictionary: JaDictionary | None = None
+) -> list[dict]:
+    """Per-position longest-match reference walk (property-test twin of
+    the regex fast path)."""
+    d = dictionary if dictionary is not None else resolve_dictionary(None)
+    tokens: list[dict] = []
+    n = len(block)
+    i = 0
+    gap_start = None
+    while i < n:
+        matched = None
+        for ln in range(min(d.max_surface_len, n - i), 0, -1):
+            cand = block[i : i + ln]
+            if cand in d.surface_map or cand in d.conjunction_rules:
+                matched = cand
+                break
+        if matched is None:
+            if gap_start is None:
+                gap_start = i
+            i += 1
+            continue
+        if gap_start is not None:
+            _emit_gap(block[gap_start:i], offset + gap_start, tokens)
+            gap_start = None
+        cur = i
+        for psurf, pbase, ppos in d.pieces_for(
+            matched, _sentence_initial(block, i)
+        ):
+            tokens.append(
+                dict(
+                    surface=psurf,
+                    base=pbase,
+                    start=offset + cur,
+                    length=len(psurf),
+                    pos=ppos,
+                )
+            )
+            cur += len(psurf)
+        i += len(matched)
+    if gap_start is not None:
+        _emit_gap(block[gap_start:], offset + gap_start, tokens)
+    for t in tokens:
+        t.setdefault("base", t["surface"])
+    return tokens
 
-    For every contiguous token span whose concatenated surface length is
-    within the lexicon's max entry length, probe the lexicon with the
-    concatenated surface form; a hit emits one extra item spanning the
-    tokens (position = span start, len = concatenated surface length),
-    tagged source 3 (DICT_SURFACE).
-    """
+
+def _within_jmdict_max_len(span: list[dict], jm: JMdictSubset) -> bool:
+    """Reference length gate (japanese_analysis.py:280-310): a span is
+    probe-worthy if ANY measure (item count, base-form len, surface len)
+    is within the corresponding max over the loaded JMdict entries."""
+    if len(span) <= jm.max_decomp_len:
+        return True
+    if sum(len(t["base"]) for t in span) <= jm.max_text_form_len:
+        return True
+    if sum(len(t["surface"]) for t in span) <= jm.max_text_form_len:
+        return True
+    return False
+
+
+def _lookup_meta(span: list[dict], jm: JMdictSubset) -> list[dict]:
+    """Three-key JMdict probe of one base-item span (≥2 items), the
+    exact analog of _lookup_meta_lexical_item (japanese_analysis.py:
+    318-369): decomp map by base-form tuple (source 2), entry map by
+    surface concat (3) and by base concat (4). Emitted base_form is the
+    ENTRY text form, position is (first item start, surface len)."""
+    decomp = tuple(t["base"] for t in span)
+    decomp_entries = jm.decomp_map.get(decomp, ())
+    surface = "".join(t["surface"] for t in span)
+    surface_entries = jm.entry_map.get(surface, ())
+    base = "".join(decomp)
+    base_entries = jm.entry_map.get(base, ())
+    if not (decomp_entries or surface_entries or base_entries):
+        return []
+    items = []
+    seen = set()
+    for ent in list(decomp_entries) + list(surface_entries) + list(base_entries):
+        if ent in seen:
+            continue
+        seen.add(ent)
+        sources = []
+        if ent in decomp_entries:
+            sources.append(2)
+        if ent in surface_entries:
+            sources.append(3)
+        if ent in base_entries:
+            sources.append(4)
+        items.append(
+            dict(
+                surface=surface,
+                base=ent[1],
+                start=span[0]["start"],
+                length=len(surface),
+                pos=None,
+                sources=sources,
+                entry_id=ent[0],
+            )
+        )
+    return items
+
+
+def _jmdict_meta_items(toks: list[dict], jm: JMdictSubset) -> list[dict]:
+    """Scan all list-adjacent spans of ≥2 items, like
+    _find_meta_lexical_items (japanese_analysis.py:248-279). Runs over
+    the FULL item list including symbols (the reference probes before
+    its symbol filter), so spans never bridge a dropped symbol."""
+    out: list[dict] = []
     n = len(toks)
     for a in range(n):
-        surf = ""
-        for b in range(a, n):
-            # Require adjacency (no gaps) so positions stay contiguous.
-            if b > a and toks[b]["start"] != toks[b - 1]["start"] + toks[b - 1]["length"]:
+        b = a + 1
+        while b < n:
+            span = toks[a : b + 1]
+            if not _within_jmdict_max_len(span, jm):
                 break
-            surf += toks[b]["surface"]
-            if len(surf) > max_len:
-                break
-            if b > a and surf in lexicon:
-                yield dict(
-                    surface=surf,
-                    start=toks[a]["start"],
-                    length=len(surf),
-                    pos="名詞",
-                    sources=[3],
-                )
+            out.extend(_lookup_meta(span, jm))
+            b += 1
+    return out
+
+
+def _is_symbol(t: dict) -> bool:
+    pos = t.get("pos")
+    return pos is not None and "記号" in pos.split("-")
 
 
 def tokenize_ja_text(
-    text: str, lexicon: set[str] | None = None, keep_symbols: bool = False
+    text: str, lexicon=None, keep_symbols: bool = False
 ) -> list[dict]:
-    """Full-document tokenize: T1 block split + per-block segment + T4.
+    """Full-document tokenize: T1 block split + dictionary tag + T4 meta.
 
     Newline handling matches japanese_analysis.py:186-209: split on
     ``str.splitlines``, empty block advances offset by 1, non-empty block
-    advances by len+1.
-    """
+    advances by len+1. Meta lookup runs per block over all items
+    (symbols included), then symbols are filtered — the reference's
+    order (_find_lexical_items, japanese_analysis.py:211-246)."""
+    d = resolve_dictionary(lexicon)
     blocks = text.splitlines()
     offset = 0
     out: list[dict] = []
-    max_len = max((len(w) for w in lexicon), default=0) if lexicon else 0
     for block in blocks:
         if len(block) == 0:
             offset += 1
             continue
-        toks = tokenize_ja_block(block, offset)
-        base = [t for t in toks if t["pos"] != "記号"] if not keep_symbols else toks
-        for t in base:
+        toks = tokenize_ja_block(block, offset, dictionary=d)
+        metas = _jmdict_meta_items(toks, d.jmdict)
+        if not keep_symbols:
+            toks = [t for t in toks if not _is_symbol(t)]
+        for t in toks:
             t.setdefault("sources", [1])
-        out.extend(base)
-        if lexicon:
-            out.extend(_dict_ngram_items(base, lexicon, max_len))
+            t.setdefault("entry_id", None)
+        out.extend(toks)
+        out.extend(metas)
         offset += len(block) + 1
-    # Width-normalize term keys (datatypes.py:399-405).
+    # Width-normalize the base form into the posting key
+    # (datatypes.py:399-405).
     for t in out:
-        t["term"] = normalize_char_width(t["surface"])
+        t["term"] = normalize_char_width(t["base"])
     return out
 
 
-def make_ja_tokens_udf(lexicon: set[str] | None = None):
+def make_ja_tokens_udf(lexicon=None):
     """pandas UDF: text → array<token struct> (Arrow-batched, no per-row
     Python at the Spark API level; the per-doc loop runs inside the batch)."""
 
@@ -379,10 +427,12 @@ def make_ja_tokens_udf(lexicon: set[str] | None = None):
                 (
                     t["surface"],
                     t["term"],
+                    t["base"],
                     t["start"],
                     t["length"],
                     t["pos"],
                     t.get("sources", [1]),
+                    t.get("entry_id"),
                 )
                 for t in tokenize_ja_text(s, lexicon=lexicon)
             ]
@@ -396,21 +446,22 @@ def explode_ja_tokens(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    lexicon: set[str] | None = None,
+    lexicon=None,
     include_analysis: bool = False,
 ) -> DataFrame:
-    """Token rows for Japanese: (doc_id, term, start, len[, pos, sources]).
+    """Token rows for Japanese: (doc_id, term, start, len[, pos, sources,
+    entry_id]).
 
     Emits rows directly from ``mapInPandas`` (Arrow columnar all the way)
     instead of array<struct> + explode — the latter materializes millions
     of short-lived JVM structs per batch and caps scaling on the GC.
-    ``include_analysis`` adds the pos/sources analysis columns."""
+    ``include_analysis`` adds the pos/sources/entry_id analysis columns."""
     import pandas as pd
 
     base_cols = ["doc_id", "term", "start", "len"]
     schema = "doc_id long, term string, start int, len int"
     if include_analysis:
-        schema += ", pos string, sources array<int>"
+        schema += ", pos string, sources array<int>, entry_id string"
 
     def gen(batches):
         for pdf in batches:
@@ -418,6 +469,7 @@ def explode_ja_tokens(
             if include_analysis:
                 out["pos"] = []
                 out["sources"] = []
+                out["entry_id"] = []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 if text is None:
                     continue
@@ -429,6 +481,7 @@ def explode_ja_tokens(
                     if include_analysis:
                         out["pos"].append(t["pos"])
                         out["sources"].append(t.get("sources", [1]))
+                        out["entry_id"].append(t.get("entry_id"))
             yield pd.DataFrame(out)
 
     return df.select(
@@ -440,7 +493,7 @@ def ja_posting_rows(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    lexicon: set[str] | None = None,
+    lexicon=None,
 ) -> DataFrame:
     """Tokenize AND reduce per (term, doc) in one mapInPandas pass:
     (doc_id, term, tf, starts, lens, dl).

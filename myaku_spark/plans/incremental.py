@@ -50,19 +50,38 @@ def detect_changes(
     """Returns (changed_pages, tombstones).
 
     changed_pages: pages that are new urls or changed content.
-    tombstones: doc_ids of superseded versions (url re-indexed)."""
+    tombstones: doc_ids of superseded versions (url re-indexed).
+
+    Skip decisions consult only LIVE (non-tombstoned) docs: a url whose
+    content reverts to a previously-indexed-then-superseded text_hash
+    must be RE-indexed, not skipped, or it would stay masked by the old
+    tombstone forever (the reference's replace-on-write never loses the
+    live copy, database.py:396-434). Content dedup is db-wide, matching
+    can_store_article (datastore/index_build.py:116-143): a page whose
+    text_hash exists under ANY live url is skipped (first-writer-wins
+    across the whole corpus)."""
     docs = _existing_docs(spark, index_dir).select("doc_id", "url", "text_hash")
+    try:
+        tombs = spark.read.parquet(f"{index_dir}/tombstones").select("doc_id")
+        live = docs.join(tombs, "doc_id", "left_anti")
+    except Exception:
+        live = docs
     # Hash the CANONICAL (extracted) text — the same bytes the index
     # stores — not the shipped text column, else a page whose html is
     # unchanged would be re-detected forever.
     canonical = extract_and_dedupe(new_pages).select("url", "text_hash")
-    unchanged = docs.select("url", "text_hash")
-    changed_urls = canonical.join(
-        unchanged, ["url", "text_hash"], "left_anti"
-    ).select("url")
+    changed_urls = (
+        canonical.join(
+            live.select("url", "text_hash"), ["url", "text_hash"], "left_anti"
+        )
+        # db-wide content dedup: identical text under a different live
+        # url is not re-indexed.
+        .join(live.select("text_hash"), "text_hash", "left_anti")
+        .select("url")
+    )
     changed = new_pages.join(changed_urls, "url", "left_semi")
     # Tombstones: old doc_ids of urls being re-indexed.
-    tomb = docs.join(changed.select("url"), "url", "left_semi").select("doc_id")
+    tomb = live.join(changed.select("url"), "url", "left_semi").select("doc_id")
     return changed, tomb
 
 

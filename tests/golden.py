@@ -85,6 +85,132 @@ def load_golden():
     return initial_docs, update_docs, url_map
 
 
+def _fli_doc(d: ast.Dict) -> dict:
+    """One golden FLI expectation: {title, positions, interp_sources}."""
+    out = {}
+    for k, v in zip(d.keys, d.values):
+        key = _const(k)
+        if key == "article_oid":
+            out["title"] = _const(v)
+        elif key == "found_positions" and isinstance(v, ast.List):
+            poss = []
+            for e in v.elts:
+                if isinstance(e, ast.Dict):
+                    p = {_const(pk): _const(pv) for pk, pv in zip(e.keys, e.values)}
+                    poss.append((p["index"], p["len"]))
+            out["positions"] = poss
+        elif key == "possible_interps" and isinstance(v, ast.List):
+            srcs = []
+            for e in v.elts:
+                if isinstance(e, ast.Dict):
+                    for pk, pv in zip(e.keys, e.values):
+                        if _const(pk) == "interp_sources" and isinstance(
+                            pv, ast.List
+                        ):
+                            srcs.append(tuple(_const(x) for x in pv.elts))
+            out["interp_sources"] = srcs
+        elif key == "interp_position_map" and isinstance(v, ast.Dict):
+            pmap = {}
+            for mk, mv in zip(v.keys, v.values):
+                if isinstance(mv, ast.List):
+                    pmap[_const(mk)] = [
+                        (
+                            {_const(pk): _const(pv) for pk, pv in zip(e.keys, e.values)}[
+                                "index"
+                            ],
+                            {_const(pk): _const(pv) for pk, pv in zip(e.keys, e.values)}[
+                                "len"
+                            ],
+                        )
+                        for e in mv.elts
+                        if isinstance(e, ast.Dict)
+                    ]
+            out["interp_position_map"] = pmap
+    return out
+
+
+@lru_cache(maxsize=1)
+def golden_fli_expectations() -> dict[str, list[dict]]:
+    """term → [{title, positions, interp_sources, interp_position_map?}],
+    merged initial + update stage (the reference's exhaustive FLI query
+    expectations, test_crawl.py:856-1653)."""
+    tree = ast.parse(open(REF_TEST, encoding="utf-8").read())
+    flis: dict[str, list[dict]] = {}
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign) and node.targets:
+            t0 = node.targets[0]
+            name = getattr(t0, "id", None)
+            if name == "INITIAL_CRAWL_EXPECTED_FLI_QUERY_DOCS" and isinstance(
+                node.value, ast.Dict
+            ):
+                for k, v in zip(node.value.keys, node.value.values):
+                    flis[_const(k)] = [
+                        _fli_doc(e) for e in v.elts if isinstance(e, ast.Dict)
+                    ]
+            if (
+                isinstance(t0, ast.Subscript)
+                and getattr(t0.value, "id", None)
+                == "UPDATE_CRAWL_EXPECTED_FLI_QUERY_DOCS"
+                and isinstance(node.value, ast.List)
+            ):
+                flis.setdefault(_const(t0.slice), []).extend(
+                    _fli_doc(e) for e in node.value.elts if isinstance(e, ast.Dict)
+                )
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr == "append"
+            and isinstance(node.func.value, ast.Subscript)
+            and getattr(node.func.value.value, "id", None)
+            == "UPDATE_CRAWL_EXPECTED_FLI_QUERY_DOCS"
+            and node.args
+            and isinstance(node.args[0], ast.Dict)
+        ):
+            flis.setdefault(_const(node.func.value.slice), []).append(
+                _fli_doc(node.args[0])
+            )
+    return flis
+
+
+@lru_cache(maxsize=1)
+def golden_article_texts() -> dict[str, str]:
+    """title → full_text for initial+update golden articles (title ==
+    the symbolic article_oid used by the FLI expectations)."""
+    tree = ast.parse(open(REF_TEST, encoding="utf-8").read())
+    texts: dict[str, str] = {}
+
+    def grab(list_node):
+        for elt in list_node.elts:
+            if not isinstance(elt, ast.Dict):
+                continue
+            d = {}
+            for k, v in zip(elt.keys, elt.values):
+                key = _const(k)
+                if key in ("title", "full_text"):
+                    d[key] = _const(v)
+            if "title" in d and "full_text" in d:
+                texts[d["title"]] = d["full_text"]
+
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign) and node.targets:
+            name = getattr(node.targets[0], "id", None)
+            if name == "INITIAL_CRAWL_EXPECTED_ARTICLE_DOCS" and isinstance(
+                node.value, ast.List
+            ):
+                grab(node.value)
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr == "extend"
+            and getattr(node.func.value, "id", None)
+            == "UPDATE_CRAWL_EXPECTED_ARTICLE_DOCS"
+            and node.args
+            and isinstance(node.args[0], ast.List)
+        ):
+            grab(node.args[0])
+    return texts
+
+
 def source_of(url: str) -> str:
     if "kakuyomu.jp" in url:
         return "kakuyomu"

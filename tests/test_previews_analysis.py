@@ -24,10 +24,13 @@ def gidx(spark, tmp_path_factory):
 
 def test_analysis_sidecar_sources(spark, gidx):
     an = spark.read.parquet(f"{gidx}/analysis")
-    # Meta lexical items from the lexicon carry source 3 (DICT_SURFACE).
+    # Meta lexical items from the JMdict subset carry the three-key
+    # sources (2=decomp, 3=surface; 雪曇り golden interp,
+    # test_crawl.py:1206-1233) and their JMdict entry id.
     metas = an.filter(F.col("term") == "雪曇り").collect()
     assert metas
-    assert any(r.sources == [3] for r in metas)
+    assert any(r.sources == [2, 3] for r in metas)
+    assert any(r.entry_id == "2098190" for r in metas)
     # Base segmenter tokens carry source 1.
     base = an.filter(F.col("term") == "けれども").collect()
     assert base and all(r.sources == [1] for r in base)

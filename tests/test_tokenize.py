@@ -51,14 +51,79 @@ def test_script_run_segmentation():
 
 
 def test_dict_ngram_meta_items():
-    # A lexicon entry spanning two script runs is emitted as a meta item
-    # with source 3 (T4 analog: JMdict surface-form lookup).
-    lex = {"雪曇り"}
-    toks = tokenize_ja_text("朝は雪曇りだった", lexicon=lex)
-    metas = [t for t in toks if t.get("sources") == [3]]
-    assert any(t["surface"] == "雪曇り" for t in metas)
-    m = next(t for t in metas if t["surface"] == "雪曇り")
+    # A JMdict entry spanning two script runs is emitted as a meta item
+    # via the three-key lookup (T4, japanese_analysis.py:318-369):
+    # decomp (雪, 曇る) → source 2, surface concat 雪曇り → source 3;
+    # base concat 雪曇る misses, so no source 4 (golden interp
+    # expectation for 雪曇り, test_crawl.py:1206-1233).
+    toks = tokenize_ja_text("朝は雪曇りだった")
+    metas = [t for t in toks if t["surface"] == "雪曇り"]
+    assert metas, toks
+    m = metas[0]
+    assert m["sources"] == [2, 3]
+    assert m["entry_id"] == "2098190"
+    assert m["base"] == "雪曇り"
     assert "朝は雪曇りだった"[m["start"] : m["start"] + m["length"]] == "雪曇り"
+
+
+def test_jmdict_three_key_sources():
+    # 窓枠: decomp (窓, 枠) + surface 窓枠 + base concat 窓枠 → [2, 3, 4]
+    # (test_crawl.py:1235-1263).
+    toks = tokenize_ja_text("窓枠がある")
+    m = next(t for t in toks if t["surface"] == "窓枠")
+    assert m["sources"] == [2, 3, 4]
+    assert m["entry_id"] == "1401460"
+    # 美しさ: MeCab-analog 美し (base 美しい) + さ; decomp (美しい, さ)
+    # + surface 美しさ; base concat 美しいさ misses → [2, 3]
+    # (test_crawl.py:1577-1647).
+    toks = tokenize_ja_text("空の美しさがある")
+    m = next(t for t in toks if t["surface"] == "美しさ")
+    assert m["sources"] == [2, 3]
+    assert m["entry_id"] == "2765450"
+    assert m["base"] == "美しさ"
+
+
+def test_conjunction_context_rule():
+    # Sentence-initial だから = 接続詞 single token (source 1); medial
+    # だから splits into だ+から and is recovered as a JMdict meta item
+    # with sources [3, 4] (golden interp axis, test_crawl.py:1104-1203).
+    toks = tokenize_ja_text("そうだ。だから行く")
+    m = [t for t in toks if t["surface"] == "だから"]
+    assert len(m) == 1 and m[0]["sources"] == [1] and m[0]["pos"] == "接続詞"
+    toks = tokenize_ja_text("人間だから行く")
+    m = [t for t in toks if t["surface"] == "だから"]
+    assert len(m) == 1 and m[0]["sources"] == [3, 4]
+    assert m[0]["entry_id"] == "1007310"
+    # The split base items are also present.
+    assert any(t["surface"] == "だ" and t["base"] == "だ" for t in toks)
+    assert any(t["surface"] == "から" for t in toks)
+
+
+def test_entity_longest_match():
+    # NEologd-style entity: 吾輩は猫である is ONE token, so the embedded
+    # 吾輩 is NOT indexed at that position (golden 吾輩 expectation,
+    # test_crawl.py:1511-1546); standalone 吾輩 still is.
+    toks = tokenize_ja_text("吾輩は猫である。名前はまだ無い。")
+    assert any(t["surface"] == "吾輩は猫である" for t in toks)
+    assert not any(t["surface"] == "吾輩" for t in toks)
+    toks = tokenize_ja_text("吾輩はここで待つ")
+    assert any(t["surface"] == "吾輩" for t in toks)
+
+
+def test_base_form_layer():
+    # Conjugated surfaces map to their dictionary base form (T2): the
+    # posting key is the width-normalized base form.
+    toks = tokenize_ja_text("空が曇っている")
+    m = next(t for t in toks if t["surface"] == "曇っ")
+    assert m["base"] == "曇る" and m["term"] == "曇る"
+    toks = tokenize_ja_text("美しく咲く")
+    m = next(t for t in toks if t["surface"] == "美しく")
+    assert m["base"] == "美しい"
+    # T3 analog: な keeps base な (reference _ADJUST_TAGS_MAP,
+    # japanese_analysis.py:934-940).
+    toks = tokenize_ja_text("静かな森")
+    m = next(t for t in toks if t["surface"] == "な")
+    assert m["base"] == "な"
 
 
 def test_term_width_normalized():
