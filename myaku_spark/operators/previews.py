@@ -55,7 +55,32 @@ def preview_for_results(
             [], "doc_id long, score double, preview string"
         )
     doc_ids = {int(d) for _, d in results}
-    rows = read_term_segments(spark, f"{index_dir}/segments", terms).collect()
+    # Two-phase read: block metadata first, then blobs for ONLY the
+    # blocks whose doc range intersects the (≤ k·pages) result set —
+    # never the whole posting list of a head term.
+    import bisect
+
+    sorted_ids = sorted(doc_ids)
+
+    def _hits(lo: int, hi: int) -> bool:
+        i = bisect.bisect_left(sorted_ids, lo)
+        return i < len(sorted_ids) and sorted_ids[i] <= hi
+
+    from myaku_spark.plans import catalog
+
+    seg = read_term_segments(
+        spark, catalog.path_of(index_dir, "segments"), terms
+    )
+    meta = seg.select("term", "block_id", "min_doc", "max_doc").collect()
+    need_by_term: dict[str, set] = {}
+    for m in meta:
+        if _hits(int(m.min_doc), int(m.max_doc)):
+            need_by_term.setdefault(m.term, set()).add(int(m.block_id))
+    cond = None
+    for t, ids in need_by_term.items():
+        c = (F.col("term") == t) & F.col("block_id").isin(list(ids))
+        cond = c if cond is None else (cond | c)
+    rows = seg.filter(cond).collect() if cond is not None else []
     first_pos: dict[int, int] = {}
     for r in rows:
         dec = decode_block(bytes(r.blob))
@@ -73,7 +98,9 @@ def preview_for_results(
         ],
         ["doc_id", "score", "first_start"],
     )
-    docs = spark.read.parquet(f"{index_dir}/docs").select("doc_id", "url")
+    docs = spark.read.parquet(catalog.path_of(index_dir, "docs")).select(
+        "doc_id", "url"
+    )
     texts = docs.join(pages.select("url", "text"), "url").select(
         "doc_id", "text"
     )

@@ -7,9 +7,19 @@ pagination is a slice of the returned top-k; J1/J2 hydration is a
 broadcast join of the (≤ k·pages) result doc_ids against the docs table.
 Queries are width-normalized with the same P6 function used at index
 time (symmetry contract, views.py:305-310).
+
+Two-phase segment access: the query plan collects block METADATA only
+(parquet column pruning keeps blob pages unread), then fetches blobs
+lazily in forward windows as WAND's skip pattern requests them
+(SegmentBlobStore). Driver bytes are bounded by decoded blocks +
+prefetch overshoot, never by posting-list size — a けれども-class head
+term at 10^9 docs ships only the blocks WAND actually opens.
 """
 
 from __future__ import annotations
+
+import time as _time
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -20,12 +30,171 @@ from myaku_spark.operators.segments import read_term_segments
 from myaku_spark.operators.wand import (
     BM25Scorer,
     MyakuScorer,
-    cursors_from_segments,
+    cursors_from_blockmeta,
     exhaustive_topk,
     stats_for_bm25,
     wand_topk_and,
     wand_topk_or,
 )
+
+_META_COLS = [
+    "group",
+    "bucket",
+    "term",
+    "block_id",
+    "n_postings",
+    "min_doc",
+    "max_doc",
+    "max_tf",
+    "min_dl",
+    "max_score",
+]
+
+
+class SegmentBlobStore:
+    """Block metadata up front, blobs on demand.
+
+    - ``ensure_terms`` collects metadata-only rows for the query terms
+      (bucket partition pruning + parquet term pushdown; the blob column
+      is never in the scan schema).
+    - ``blob(term, group, block_id)`` fetches a FORWARD WINDOW of up to
+      ``prefetch_blocks`` not-yet-cached blobs for the term starting at
+      the requested block (WAND cursors only move forward in doc_id, so
+      forward prefetch amortizes Spark-job latency without overshooting
+      into blocks a skip already passed).
+    - ``bytes_fetched`` / ``fetch_jobs`` instrument the driver-byte
+      bound asserted by tests and the head-term bench entry.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        seg_path: str,
+        prefetch_blocks: int = 64,
+        max_terms: int = 256,
+        max_blob_bytes: int = 1 << 28,
+    ):
+        self.spark = spark
+        self.seg_path = seg_path
+        self.prefetch_blocks = prefetch_blocks
+        self.max_terms = max_terms
+        self.max_blob_bytes = max_blob_bytes
+        self.meta: OrderedDict[str, list] = OrderedDict()
+        self.blobs: OrderedDict[tuple, bytes] = OrderedDict()
+        self.cached_blob_bytes = 0
+        self.bytes_fetched = 0
+        self.fetch_jobs = 0
+
+    def ensure_terms(self, terms: list[str]) -> None:
+        missing = [t for t in terms if t not in self.meta]
+        if missing:
+            rows = (
+                read_term_segments(self.spark, self.seg_path, missing)
+                .select(*_META_COLS)
+                .collect()
+            )
+            by_term: dict[str, list] = {t: [] for t in missing}
+            for r in rows:
+                by_term.setdefault(r.term, []).append(r)
+            for t in missing:
+                self.meta[t] = sorted(
+                    by_term.get(t, []), key=lambda r: r.min_doc
+                )
+            while len(self.meta) > self.max_terms:
+                self.meta.popitem(last=False)
+        for t in terms:
+            if t in self.meta:
+                self.meta.move_to_end(t)
+
+    def meta_rows(self, terms: list[str]) -> list:
+        self.ensure_terms(terms)
+        out = []
+        for t in terms:
+            out.extend(self.meta.get(t, []))
+        return out
+
+    def blob(self, term: str, group, block_id) -> bytes:
+        key = (term, group, block_id)
+        hit = self.blobs.get(key)
+        if hit is not None:
+            self.blobs.move_to_end(key)
+            return hit
+        metas = self.meta.get(term, [])
+        idx = next(
+            i
+            for i, r in enumerate(metas)
+            if r.block_id == block_id and (r.group or 0) == (group or 0)
+        )
+        window = [
+            r
+            for r in metas[idx : idx + self.prefetch_blocks]
+            if (term, r.group, r.block_id) not in self.blobs
+        ]
+        want = list({int(r.block_id) for r in window})
+        bucket = int(metas[idx].bucket)
+        rows = (
+            self.spark.read.parquet(self.seg_path)
+            .filter(
+                (F.col("bucket") == bucket)
+                & (F.col("term") == term)
+                & F.col("block_id").isin(want)
+            )
+            .select("group", "block_id", "blob")
+            .collect()
+        )
+        self.fetch_jobs += 1
+        for r in rows:
+            b = bytes(r.blob)
+            self.blobs[(term, r.group, r.block_id)] = b
+            self.bytes_fetched += len(b)
+            self.cached_blob_bytes += len(b)
+        while self.cached_blob_bytes > self.max_blob_bytes and self.blobs:
+            _, old = self.blobs.popitem(last=False)
+            self.cached_blob_bytes -= len(old)
+        # The requested blob may have been evicted in a pathological
+        # window; re-read it directly in that case.
+        if key not in self.blobs:
+            raise KeyError(f"segment blob not found: {key}")
+        return self.blobs[key]
+
+
+class UserPageCache:
+    """Per-user next-page cache (the reference's Redis NextPageCache,
+    cache.py:316-459): each user holds TWO slots (forward/backward);
+    a slot stores (query terms, combine, page_num, results) and expires
+    after 7 days. get() returns the results only when user, query, page
+    all match — the reference's _query_match contract."""
+
+    TTL_SECONDS = 60 * 60 * 24 * 7  # _KEY_EXPIRE_SECONDS, cache.py:327
+
+    def __init__(self, clock=_time.time):
+        self._clock = clock
+        self._slots: dict[tuple, tuple] = {}  # (user, dir) → (expiry, query_key, results)
+
+    @staticmethod
+    def _query_key(terms, combine: str, page_num: int) -> tuple:
+        return (tuple(terms), combine, page_num)
+
+    def set(self, user_id: str, direction: int, terms, combine, page_num, results):
+        self._slots[(user_id, direction)] = (
+            self._clock() + self.TTL_SECONDS,
+            self._query_key(terms, combine, page_num),
+            list(results),
+        )
+
+    def get(self, user_id: str, terms, combine, page_num):
+        qk = self._query_key(terms, combine, page_num)
+        for direction in (1, -1):
+            slot = self._slots.get((user_id, direction))
+            if slot is None:
+                continue
+            expiry, key, results = slot
+            if expiry < self._clock():
+                del self._slots[(user_id, direction)]
+                continue
+            if key == qk:
+                return list(results)
+        return None
 
 
 class IndexSearcher:
@@ -38,6 +207,16 @@ class IndexSearcher:
         from myaku_spark.plans.incremental import load_tombstones
 
         self.deleted = load_tombstones(spark, index_dir)
+        # Resolve a consistent catalog snapshot ONCE at construction:
+        # a compaction publishing mid-query never mixes versions for
+        # this searcher (old dirs stay until GC).
+        from myaku_spark.plans import catalog
+
+        self._docs_path = catalog.path_of(index_dir, "docs")
+        self.store = SegmentBlobStore(
+            spark, catalog.path_of(index_dir, "segments")
+        )
+        self.page_cache = UserPageCache()
         if mode == "bm25":
             r = spark.read.parquet(f"{index_dir}/corpus_stats").collect()[0]
             self.n_docs, self.avgdl = int(r.n_docs), float(r.avgdl)
@@ -58,38 +237,17 @@ class IndexSearcher:
             avgdl=self.avgdl,
         )
 
-    _CACHE_MAX_TERMS = 256
-
     def _cursors(self, terms: list[str]):
-        """Segment rows per term, with a driver-side LRU over raw rows.
-
-        The analog of the reference's user next-page cache
-        (cache.py:316-459): repeated/paginated queries skip the segment
-        read entirely. Cursors are rebuilt per query (they are stateful
-        iterators); only the immutable segment rows are cached."""
-        if not hasattr(self, "_row_cache"):
-            from collections import OrderedDict
-
-            self._row_cache = OrderedDict()
-        missing = [t for t in terms if t not in self._row_cache]
-        if missing:
-            rows = read_term_segments(
-                self.spark, f"{self.index_dir}/segments", missing
-            ).collect()
-            by_term: dict[str, list] = {t: [] for t in missing}
-            for r in rows:
-                by_term.setdefault(r.term, []).append(r)
-            for t in missing:
-                self._row_cache[t] = by_term.get(t, [])
-            while len(self._row_cache) > self._CACHE_MAX_TERMS:
-                self._row_cache.popitem(last=False)
-        rows = []
-        for t in terms:
-            if t in self._row_cache:
-                self._row_cache.move_to_end(t)
-                rows.extend(self._row_cache[t])
-        return cursors_from_segments(
-            rows, self._scorer_factory(terms), deleted=self.deleted or None
+        """Per-term cursors over metadata-only rows; blobs stream in via
+        the store as WAND requests them (cursors are rebuilt per query —
+        they are stateful iterators — but metadata and already-fetched
+        blobs are reused across queries)."""
+        rows = self.store.meta_rows(terms)
+        return cursors_from_blockmeta(
+            rows,
+            self._scorer_factory(terms),
+            self.store.blob,
+            deleted=self.deleted or None,
         )
 
     def search(
@@ -107,7 +265,15 @@ class IndexSearcher:
             terms = [normalize_char_width(t) for t in query.split()]
         else:
             terms = [normalize_char_width(t) for t in query]
-        cursors = list(self._cursors(terms).values())
+        by_term = self._cursors(terms)
+        cursors = list(by_term.values())
+        # Intersection semantics: a query term absent from the index
+        # means NO document contains all terms — return empty instead of
+        # silently intersecting only the present terms (matches the
+        # relational n_matched == len(terms) filter and the reference's
+        # per-term $in lookup, index_search.py:207-248).
+        if combine == "and" and len(by_term) < len(set(terms)):
+            return []
         if not cursors:
             return []
         if exhaustive:
@@ -124,13 +290,42 @@ class IndexSearcher:
             [(int(d), float(s), i + 1) for i, (s, d) in enumerate(results)],
             ["doc_id", "score", "rank"],
         )
-        docs = self.spark.read.parquet(f"{self.index_dir}/docs")
+        docs = self.spark.read.parquet(self._docs_path)
         return docs.join(F.broadcast(rdf), "doc_id").orderBy("rank")
 
     def search_page(
-        self, query, page_num: int = 1, k: int = PAGE_SIZE, combine: str = "and"
+        self,
+        query,
+        page_num: int = 1,
+        k: int = PAGE_SIZE,
+        combine: str = "and",
+        user_id: str | None = None,
     ) -> DataFrame:
-        """K2 pagination: page N of results, hydrated."""
-        top = self.search(query, k * page_num, combine)
-        page = top[(page_num - 1) * k : page_num * k]
+        """K2 pagination: page N of results, hydrated.
+
+        With a ``user_id``, the per-user next-page cache serves the page
+        when the user just visited an adjacent page of the same query,
+        and the pages at page_num ± 1 are pre-computed into the user's
+        forward/backward slots (NextPageCache semantics,
+        cache.py:316-459)."""
+        if isinstance(query, str):
+            terms = [normalize_char_width(t) for t in query.split()]
+        else:
+            terms = [normalize_char_width(t) for t in query]
+        page = None
+        if user_id is not None:
+            page = self.page_cache.get(user_id, terms, combine, page_num)
+        if page is None:
+            top = self.search(terms, k * (page_num + 1), combine)
+            page = top[(page_num - 1) * k : page_num * k]
+            if user_id is not None:
+                nxt = top[page_num * k : (page_num + 1) * k]
+                self.page_cache.set(
+                    user_id, 1, terms, combine, page_num + 1, nxt
+                )
+                if page_num > 1:
+                    prev = top[(page_num - 2) * k : (page_num - 1) * k]
+                    self.page_cache.set(
+                        user_id, -1, terms, combine, page_num - 1, prev
+                    )
         return self.hydrate(page)

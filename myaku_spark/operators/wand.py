@@ -72,14 +72,20 @@ class _Block:
     min_doc: int
     max_doc: int
     meta: dict
-    blob: bytes
+    blob: bytes | None
     deleted: object = None  # optional set of tombstoned doc_ids
+    fetch: object = None  # lazy blob loader (two-phase segment access)
     doc_ids: np.ndarray | None = None
     tfs: np.ndarray | None = None
     payload: np.ndarray | None = None
 
     def ensure_decoded(self):
         if self.doc_ids is None:
+            if self.blob is None:
+                # Two-phase read: the blob was never shipped with the
+                # metadata — fetch it (and a forward window of its
+                # neighbors) only now that WAND actually needs it.
+                self.blob = self.fetch()
             dec = decode_block(self.blob)
             doc_ids = dec["doc_ids"].astype(np.int64)
             tfs = dec["tfs"]
@@ -188,6 +194,38 @@ def cursors_from_segments(
             deleted=deleted,
         )
         by_term.setdefault(d["term"], []).append(blk)
+    out = {}
+    for term, blocks in by_term.items():
+        blocks.sort(key=lambda b: b.min_doc)
+        out[term] = TermCursor(term, blocks, scorer_for_term(term))
+    return out
+
+
+def cursors_from_blockmeta(
+    rows, scorer_for_term, fetch_blob, deleted: set | None = None
+) -> dict[str, TermCursor]:
+    """Two-phase variant: rows carry block METADATA only (no blob).
+    ``fetch_blob(term, group, block_id)`` is invoked lazily the first
+    time WAND decodes the block, so skipped blocks never reach the
+    driver. Block-max skipping (term_upper/block_upper/max_doc) works on
+    metadata alone — no decode, no fetch."""
+    by_term: dict[str, list[_Block]] = {}
+    for r in rows:
+        d = r.asDict() if hasattr(r, "asDict") else dict(r)
+        term, group, block_id = d["term"], d.get("group", 0), d["block_id"]
+        blk = _Block(
+            min_doc=d["min_doc"],
+            max_doc=d["max_doc"],
+            meta={
+                "max_score": d["max_score"],
+                "max_tf": d["max_tf"],
+                "min_dl": d["min_dl"],
+            },
+            blob=None,
+            deleted=deleted,
+            fetch=lambda t=term, g=group, b=block_id: fetch_blob(t, g, b),
+        )
+        by_term.setdefault(term, []).append(blk)
     out = {}
     for term, blocks in by_term.items():
         blocks.sort(key=lambda b: b.min_doc)

@@ -117,8 +117,14 @@ def build_group(
     t0 = time.time()
     # Persist the extraction output BEFORE id assignment: assign_doc_ids
     # runs a bucket-count action, which would otherwise re-run the
-    # extract UDF + dedup shuffle a second time.
-    extracted = extract_and_dedupe(pages_group).persist()
+    # extract UDF + dedup shuffle a second time. When build_index has
+    # already materialized the corpus-wide extracted/deduped stage, the
+    # group arrives pre-extracted (text_hash present) and extraction is
+    # skipped here.
+    if "text_hash" in pages_group.columns:
+        extracted = pages_group.persist()
+    else:
+        extracted = extract_and_dedupe(pages_group).persist()
     par = spark.sparkContext.defaultParallelism
     docs = assign_doc_ids(extracted, ["warc_ts", "url"]).repartition(par * 2)
     # Group-local ids are made globally unique by a group prefix.
@@ -240,7 +246,20 @@ def build_index(
         ["n_groups", "now", "mode", "run_id"],
     ).write.mode("overwrite").parquet(f"{index_dir}/build_meta")
     done = completed_groups(spark, index_dir)
-    tagged = pages.withColumn("_group", _group_col(F.col("url"), n_groups))
+    # Stage 0 (corpus-wide, checkpointed): extract + dedupe ONCE over the
+    # whole pages input, so content dedup is db-wide first-writer-wins
+    # like the reference's can_store_article (index_build.py:116-143) —
+    # NOT group-local — and resumed runs skip re-extraction entirely.
+    # Written partitioned by _group so each group build reads only its
+    # partition (partition pruning on the parquet scan).
+    ext_path = f"{index_dir}/extracted"
+    try:
+        tagged = spark.read.parquet(ext_path)
+    except Exception:
+        extract_and_dedupe(pages).withColumn(
+            "_group", _group_col(F.col("url"), n_groups)
+        ).write.mode("overwrite").partitionBy("_group").parquet(ext_path)
+        tagged = spark.read.parquet(ext_path)
     metrics = []
     for g in range(n_groups):
         if g in done:

@@ -1,0 +1,68 @@
+"""Index catalog: an atomically-swapped pointer to versioned index dirs.
+
+The round-1 compaction swapped segment/doc directories with
+shutil.rmtree + move, which a concurrent reader could observe as a
+missing index. This catalog gives the local-parquet layout the snapshot
+model Iceberg provides natively: every compaction writes NEW versioned
+directories (segments_v{N}, docs_v{N}, tombstones_v{N}) and then
+publishes one pointer file with os.replace — atomic on POSIX — so any
+reader resolves a CONSISTENT (segments, docs, tombstones) triple from a
+single catalog read. Old versions stay on disk for in-flight readers
+until a later compaction garbage-collects them.
+
+On a real deployment this file IS the Iceberg table snapshot pointer
+(metadata.json); the resolve/publish contract is identical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+CATALOG_FILE = "CATALOG.json"
+
+_V0 = {
+    "version": 0,
+    "segments": "segments",
+    "docs": "docs",
+    "tombstones": "tombstones",
+}
+
+
+def current(index_dir: str) -> dict:
+    """The live catalog entry; defaults to the v0 legacy layout so
+    indexes built before any compaction resolve unchanged."""
+    p = os.path.join(index_dir, CATALOG_FILE)
+    if os.path.exists(p):
+        with open(p, encoding="utf-8") as f:
+            return json.load(f)
+    return dict(_V0)
+
+
+def path_of(index_dir: str, component: str) -> str:
+    return os.path.join(index_dir, current(index_dir)[component])
+
+
+def publish(index_dir: str, entry: dict) -> None:
+    """Atomically swap the catalog pointer (write temp + os.replace)."""
+    p = os.path.join(index_dir, CATALOG_FILE)
+    tmp = p + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(entry, f)
+    os.replace(tmp, p)
+
+
+def gc_versions(index_dir: str, keep_versions: set[int]) -> list[str]:
+    """Delete versioned dirs whose version is not in keep_versions
+    (callers keep at least {current, previous} for in-flight readers)."""
+    import re
+    import shutil
+
+    removed = []
+    pat = re.compile(r"^(segments|docs|tombstones)_v(\d+)$")
+    for name in os.listdir(index_dir):
+        m = pat.match(name)
+        if m and int(m.group(2)) not in keep_versions:
+            shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
+            removed.append(name)
+    return removed

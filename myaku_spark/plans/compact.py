@@ -69,41 +69,65 @@ def _merge_with_tombstones(deleted: set):
     return merge
 
 
-def compact_index(spark: SparkSession, index_dir: str) -> dict:
-    """Merge all segment groups into group=0, applying tombstones."""
+def compact_index(
+    spark: SparkSession, index_dir: str, gc_old: bool = True
+) -> dict:
+    """Merge all segment groups into group=0, applying tombstones.
+
+    Snapshot-atomic: the merged segments and rewritten docs land in NEW
+    versioned directories, then one catalog publish (os.replace) makes
+    them live. Readers mid-compaction keep resolving the previous
+    version's consistent (segments, docs, tombstones) triple; the new
+    version starts with an empty tombstone set (every tombstone was
+    applied in the merge). Old versions older than the previous one are
+    garbage-collected after publish."""
+    from myaku_spark.plans import catalog
     from myaku_spark.plans.incremental import load_tombstones
 
+    cat = catalog.current(index_dir)
+    version = int(cat["version"]) + 1
     deleted = load_tombstones(spark, index_dir)
-    segs = spark.read.parquet(f"{index_dir}/segments").withColumn(
+    segs = spark.read.parquet(f"{index_dir}/{cat['segments']}").withColumn(
         "run_order", F.col("group").cast("int")
     )
     merged = segs.groupBy("term", "block_id").applyInPandas(
         _merge_with_tombstones(deleted), SEGMENT_SCHEMA
     )
-    write_segments(merged, f"{index_dir}/segments_compact/group=0")
-    # Swap in atomically-ish: rewrite under segments/.
-    import shutil
+    seg_rel = f"segments_v{version}"
+    docs_rel = f"docs_v{version}"
+    write_segments(merged, f"{index_dir}/{seg_rel}/group=0")
 
-    seg_path = f"{index_dir}/segments"
-    shutil.rmtree(seg_path, ignore_errors=True)
-    shutil.move(f"{index_dir}/segments_compact", seg_path)
-
-    docs = spark.read.parquet(f"{index_dir}/docs")
+    docs = spark.read.parquet(f"{index_dir}/{cat['docs']}")
     if deleted:
         tomb_df = spark.createDataFrame(
             [(int(d),) for d in deleted], ["doc_id"]
         )
         docs = docs.join(F.broadcast(tomb_df), "doc_id", "left_anti")
-    docs.write.mode("overwrite").parquet(f"{index_dir}/docs_compact")
-    shutil.rmtree(f"{index_dir}/docs", ignore_errors=True)
-    shutil.move(f"{index_dir}/docs_compact", f"{index_dir}/docs")
-    shutil.rmtree(f"{index_dir}/tombstones", ignore_errors=True)
+    docs.write.mode("overwrite").parquet(f"{index_dir}/{docs_rel}/group=0")
 
-    n_docs = spark.read.parquet(f"{index_dir}/docs").count()
-    stats = spark.read.parquet(f"{index_dir}/docs").agg(
+    n_docs = spark.read.parquet(f"{index_dir}/{docs_rel}").count()
+    stats = spark.read.parquet(f"{index_dir}/{docs_rel}").agg(
         F.avg("dl").alias("avgdl")
     ).collect()[0]
     spark.createDataFrame(
         [(n_docs, float(stats.avgdl or 0.0))], ["n_docs", "avgdl"]
     ).write.mode("overwrite").parquet(f"{index_dir}/corpus_stats")
-    return {"n_docs": n_docs, "tombstones_applied": len(deleted)}
+
+    # The atomic commit point.
+    catalog.publish(
+        index_dir,
+        {
+            "version": version,
+            "segments": seg_rel,
+            "docs": docs_rel,
+            "tombstones": f"tombstones_v{version}",
+            "previous": cat,
+        },
+    )
+    if gc_old:
+        catalog.gc_versions(index_dir, {version, int(cat["version"])})
+    return {
+        "n_docs": n_docs,
+        "tombstones_applied": len(deleted),
+        "version": version,
+    }

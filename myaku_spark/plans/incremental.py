@@ -41,7 +41,9 @@ DELTA_GROUP_BASE = 10_000  # delta groups live above base group ids
 
 
 def _existing_docs(spark: SparkSession, index_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{index_dir}/docs")
+    from myaku_spark.plans import catalog
+
+    return spark.read.parquet(catalog.path_of(index_dir, "docs"))
 
 
 def detect_changes(
@@ -62,7 +64,11 @@ def detect_changes(
     across the whole corpus)."""
     docs = _existing_docs(spark, index_dir).select("doc_id", "url", "text_hash")
     try:
-        tombs = spark.read.parquet(f"{index_dir}/tombstones").select("doc_id")
+        from myaku_spark.plans import catalog
+
+        tombs = spark.read.parquet(
+            catalog.path_of(index_dir, "tombstones")
+        ).select("doc_id")
         live = docs.join(tombs, "doc_id", "left_anti")
     except Exception:
         live = docs
@@ -120,21 +126,36 @@ def incremental_update(
     spark.createDataFrame([row]).withColumn(
         "completed_ts", F.current_timestamp()
     ).write.mode("append").parquet(f"{index_dir}/checkpoints")
-    tomb.write.mode("append").parquet(f"{index_dir}/tombstones")
-    # Refresh corpus stats.
-    cp = spark.read.parquet(f"{index_dir}/checkpoints")
-    cp.groupBy().agg(
-        F.sum("docs").alias("n_docs"),
-        (F.sum("sum_dl") / F.sum("docs")).alias("avgdl"),
+    from myaku_spark.plans import catalog
+
+    tomb.write.mode("append").parquet(catalog.path_of(index_dir, "tombstones"))
+    # Refresh corpus stats from LIVE docs (docs minus tombstones), the
+    # same way compact_index does — summing checkpoint rows would keep
+    # counting superseded docs and drift n_docs/avgdl upward with every
+    # re-index, skewing BM25 idf and length normalization.
+    live = _existing_docs(spark, index_dir).join(
+        spark.read.parquet(catalog.path_of(index_dir, "tombstones")).select(
+            "doc_id"
+        ),
+        "doc_id",
+        "left_anti",
+    )
+    live.groupBy().agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
     ).write.mode("overwrite").parquet(f"{index_dir}/corpus_stats")
     return row
 
 
 def load_tombstones(spark: SparkSession, index_dir: str) -> set[int]:
+    from myaku_spark.plans import catalog
+
     try:
         return {
             r.doc_id
-            for r in spark.read.parquet(f"{index_dir}/tombstones").collect()
+            for r in spark.read.parquet(
+                catalog.path_of(index_dir, "tombstones")
+            ).collect()
         }
     except Exception:
         return set()
@@ -191,6 +212,31 @@ def rescore_index(
         .collect()
     )
     tagged = pages.withColumn("_group", _group_col(F.col("url"), n_groups))
+    # Guard ALL groups BEFORE rebuilding any: rebuilding re-runs dense id
+    # assignment, so each group's (url, text_hash) membership must be
+    # UNCHANGED since the original build — otherwise ids shift under
+    # existing tombstones and delta segments, which would mask the wrong
+    # documents. A changed group must go through incremental_update
+    # (+ compaction) first. Validating up front also keeps the docs scan
+    # consistent (rebuilds overwrite docs/group=G mid-loop).
+    for g in groups:
+        grp_pages = tagged.filter(F.col("_group") == g).drop("_group")
+        canonical = extract_and_dedupe(grp_pages).select("url", "text_hash")
+        stored = docs.filter(F.shiftright(F.col("doc_id"), 40) == g).select(
+            "url", "text_hash"
+        )
+        n_extra = canonical.join(
+            stored, ["url", "text_hash"], "left_anti"
+        ).count()
+        n_missing = stored.join(
+            canonical, ["url", "text_hash"], "left_anti"
+        ).count()
+        if n_extra or n_missing:
+            raise ValueError(
+                f"rescore_index: group {g} membership changed "
+                f"({n_extra} new, {n_missing} gone) — run "
+                "incremental_update + compact_index before rescoring"
+            )
     for g in groups:
         build_group(
             spark,

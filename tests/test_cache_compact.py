@@ -109,9 +109,23 @@ def test_compact_merges_and_applies_tombstones(spark, tmp_path):
     assert s_after.deleted == set()  # tombstones cleared
     after = s_after.search([term], k=30)
     assert after == before  # same results, now without delete vectors
-    # Doc table no longer contains tombstoned ids.
-    n_docs = spark.read.parquet(f"{d}/docs").count()
+    # Doc table (resolved via the catalog pointer) no longer contains
+    # tombstoned ids.
+    from myaku_spark.plans import catalog
+
+    n_docs = spark.read.parquet(catalog.path_of(d, "docs")).count()
     assert n_docs == out["n_docs"]
+    assert catalog.current(d)["version"] == 1
+
+    # Snapshot isolation: a searcher constructed BEFORE a compaction
+    # keeps serving its resolved version even while a second compaction
+    # publishes (and GCs versions older than its predecessor).
+    s_mid = IndexSearcher(spark, d, mode="myaku")  # resolves v1
+    out2 = compact_index(spark, d)  # publishes v2, GC keeps {v1, v2}
+    assert out2["version"] == 2
+    assert s_mid.search([term], k=30) == before  # v1 still readable
+    s_new = IndexSearcher(spark, d, mode="myaku")  # resolves v2
+    assert s_new.search([term], k=30) == before
 
 
 def test_segment_read_partition_pruning(spark, tmp_path):

@@ -92,6 +92,112 @@ def test_incremental_update_and_tombstones(spark, idx):
     assert incremental_update(spark, idx, mod, now=NOW) is None
 
 
+def test_reverted_content_reindexed(spark, tmp_path):
+    # A url whose content reverts to a previously-indexed (now
+    # tombstoned) text_hash must be RE-indexed, not skipped — otherwise
+    # the old tombstone masks it forever and the page becomes
+    # unsearchable (replace-on-write parity, database.py:396-434).
+    d = str(tmp_path / "revidx")
+    pages = synth_pages_df(spark, 10, partitions=2)
+    build_index(spark, pages, d, n_groups=1, now=NOW)
+    p0, pX = synth_page(0), synth_page(7000)
+    mod = spark.createDataFrame(
+        [(p0["url"], dt.datetime(2026, 2, 1), pX["html"], pX["text"], "ja")],
+        PAGES_SCHEMA,
+    )
+    assert incremental_update(spark, d, mod, now=NOW)["docs"] == 1
+    # Revert to the ORIGINAL content.
+    rev = spark.createDataFrame(
+        [(p0["url"], dt.datetime(2026, 3, 1), p0["html"], p0["text"], "ja")],
+        PAGES_SCHEMA,
+    )
+    changed, tomb = detect_changes(spark, d, rev)
+    assert changed.count() == 1  # NOT classified 'unchanged'
+    row = incremental_update(spark, d, rev, now=NOW)
+    assert row is not None and row["docs"] == 1
+    # The reverted doc is live: exactly one non-tombstoned docs row for
+    # the url, carrying the original text_hash.
+    tombs = load_tombstones(spark, d)
+    live = [
+        r
+        for r in spark.read.parquet(f"{d}/docs")
+        .filter(F.col("url") == p0["url"])
+        .collect()
+        if r.doc_id not in tombs
+    ]
+    assert len(live) == 1
+
+
+def test_dbwide_content_dedup_on_detect(spark, idx):
+    # A NEW url whose text equals an existing live url's text is skipped
+    # (first-writer-wins across the whole corpus, can_store_article
+    # semantics, index_build.py:116-143).
+    p3 = synth_page(3)  # content already indexed under its own url
+    dup = spark.createDataFrame(
+        [("https://synth.example.jp/copycat", dt.datetime(2026, 2, 1),
+          p3["html"], p3["text"], "ja")],
+        PAGES_SCHEMA,
+    )
+    changed, tomb = detect_changes(spark, idx, dup)
+    assert changed.count() == 0
+    assert tomb.count() == 0
+
+
+def test_corpus_stats_exclude_tombstones(spark, tmp_path):
+    d = str(tmp_path / "csidx")
+    pages = synth_pages_df(spark, 12, partitions=2)
+    build_index(spark, pages, d, n_groups=1, now=NOW)
+    p1, pY = synth_page(1), synth_page(8000)
+    mod = spark.createDataFrame(
+        [(p1["url"], dt.datetime(2026, 2, 1), pY["html"], pY["text"], "ja")],
+        PAGES_SCHEMA,
+    )
+    incremental_update(spark, d, mod, now=NOW)
+    stats = spark.read.parquet(f"{d}/corpus_stats").collect()[0]
+    tombs = load_tombstones(spark, d)
+    docs = spark.read.parquet(f"{d}/docs").collect()
+    live = [r for r in docs if r.doc_id not in tombs]
+    # n_docs counts only live docs (12, not 13); avgdl over live dl.
+    assert int(stats.n_docs) == len(live) == 12
+    expect_avgdl = sum(r.dl for r in live) / len(live)
+    assert abs(float(stats.avgdl) - expect_avgdl) < 1e-9
+
+
+def test_search_and_missing_term_returns_empty(spark, idx):
+    # Conjunctive search with a term absent from the index returns [] —
+    # never intersects only the present terms (ADVICE round 1).
+    s = IndexSearcher(spark, idx, mode="myaku")
+    top_term = (
+        spark.read.parquet(f"{idx}/term_stats")
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .orderBy(F.desc("df"))
+        .limit(1)
+        .collect()[0]
+        .term
+    )
+    assert s.search([top_term], k=5)  # sanity: present alone → hits
+    assert s.search([top_term, "zz未知語zz"], k=5, combine="and") == []
+
+
+def test_rescore_membership_guard(spark, tmp_path):
+    # Rescoring a group whose membership changed since the build must
+    # refuse (id reassignment would shift ids under existing tombstones).
+    d = str(tmp_path / "gidx")
+    pages = synth_pages_df(spark, 10, partitions=2)
+    build_index(spark, pages, d, n_groups=1, now="2026-01-01 12:00:00")
+    p0, pZ = synth_page(0), synth_page(9000)
+    mutated = pages.unionByName(
+        spark.createDataFrame(
+            [("https://synth.example.jp/new-url", dt.datetime(2026, 2, 1),
+              pZ["html"], pZ["text"], "ja")],
+            PAGES_SCHEMA,
+        )
+    )
+    with pytest.raises(ValueError, match="membership changed"):
+        rescore_index(spark, d, mutated, "2026-07-20 12:00:00")
+
+
 def test_docs_needing_rescore(spark):
     rows = [
         (1, dt.datetime(2026, 7, 26)),  # 6d old → crosses 7d boundary
