@@ -34,6 +34,32 @@ MH_HASHES = [(1_103_515_245 + 12_345 * i, 2_531_011 + 97 * i) for i in range(8)]
 MH_BANDS = 4  # 2 hashes per band
 SHINGLE_K = 3
 
+# SimHash gate parameters: 16 bit-hash functions, 4 pigeonhole bands.
+SH_BITS = 16
+SH_HASHES = [(48_271 + 1_009 * i, 16_807 + 31 * i) for i in range(SH_BITS)]
+SH_MAX_HAMMING = 3
+SH_SAMPLE = 300
+
+
+def term_id_col(c):
+    """Engine-independent 56-bit term id: int(md5(term)[:14], 16).
+
+    A pure hash — NO global sort or single-partition window — so the
+    dictionary id assignment is the same shape at any scale (this
+    replaced the round-1 Window.orderBy('term') gate device). DuckDB
+    twin: _SQL_TID."""
+    return F.conv(F.substring(F.md5(c), 1, 14), 16, 10).cast("long")
+
+
+_SQL_TID = "CAST('0x' || substr(md5(term), 1, 14) AS BIGINT)"
+
+
+def term_id_py(term: str) -> int:
+    """Python twin of term_id_col (used to build VALUES oracles)."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:14], 16)
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -320,18 +346,14 @@ def q_quality_signals(spark, sf_dir):
 def q_doc_fingerprint(spark, sf_dir):
     """Text-analysis: positional fingerprint (deterministic integer mix).
 
-    Terms are dictionary-encoded (dense ids over the sorted term
-    dictionary, A3) and mixed with their char offset — an
-    engine-independent rolling-hash stand-in."""
+    Terms are id-encoded with the md5-based term_id_col — a pure hash
+    with no dictionary join and no global window, so the fingerprint is
+    one map-side expression + one groupBy at any scale — mixed with the
+    char offset (rolling-hash analog)."""
     toks = _tokens(spark, sf_dir)
-    dict_w = Window.orderBy("term")
-    terms = (
-        toks.select("term").distinct()
-        .withColumn("tid", F.row_number().over(dict_w).cast("long"))
-    )
-    t = toks.join(terms, "term")
-    contrib = (F.col("tid") * (1 + F.col("start").cast("long"))) % 2_147_483_647
-    return t.groupBy("doc_id").agg(
+    tid_p = term_id_col(F.col("term")) % 2_147_483_647
+    contrib = (tid_p * (1 + F.col("start").cast("long"))) % 2_147_483_647
+    return toks.groupBy("doc_id").agg(
         (F.sum(contrib) % 2_147_483_647).cast("long").alias("fingerprint")
     )
 
@@ -339,16 +361,12 @@ def q_doc_fingerprint(spark, sf_dir):
 def q_minhash_signature(spark, sf_dir):
     """Near-dup dedup: MinHash signatures over token sets (LSH stage 1).
 
-    Term ids come from a dense_rank dictionary (engine-independent);
+    Term ids are md5-hash-based (term_id_col — no dictionary join, no
+    global window; the round-1 Window.orderBy gate device is gone);
     hash_i(t) = (a_i * tid + b_i) mod p; signature = per-doc min.
     """
     toks = _tokens(spark, sf_dir).select("doc_id", "term").distinct()
-    dict_w = Window.orderBy("term")
-    terms = (
-        toks.select("term").distinct()
-        .withColumn("tid", F.row_number().over(dict_w).cast("long"))
-    )
-    t = toks.join(terms, "term")
+    t = toks.withColumn("tid", term_id_col(F.col("term")) % MH_P)
     aggs = [
         F.min((F.lit(a).cast("long") * F.col("tid") + F.lit(b)) % MH_P).alias(f"mh{i}")
         for i, (a, b) in enumerate(MH_HASHES)
@@ -390,8 +408,20 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
-    """Near-dup dedup: exact n-gram (shingle) Jaccard over a doc sample."""
-    toks = _tokens(spark, sf_dir).filter(F.col("doc_id") < 100)
+    """Near-dup dedup: exact n-gram (shingle) Jaccard over a doc sample
+    SEEDED with near-duplicate twins (doc_id+100000 = the doc with its
+    first token dropped), so the gate compares non-empty pair sets —
+    the round-1 version was vacuously green on 0 rows."""
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", "text")
+    )
+    mut = docs.select(
+        (F.col("doc_id") + 100_000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    toks = explode_whitespace_tokens(docs.unionByName(mut))
     w = Window.partitionBy("doc_id").orderBy("start")
     sh = (
         toks.withColumn("t2", F.lead("term", 1).over(w))
@@ -521,11 +551,73 @@ def q_quality_filter(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (xxhash64-based — rows-only check)."""
-    from myaku_spark.operators.dedup import simhash, simhash_near_dups
+    """SimHash near-dup pairs, DuckDB-oracled gate twin.
 
-    sim = simhash(_docs(spark, sf_dir))
-    return simhash_near_dups(sim, max_hamming=12)
+    16-bit arithmetic SimHash (bit j = sign of Σ tf·(±1) where the sign
+    is the parity of a linear hash of the md5 term id), 4-bit pigeonhole
+    bands for the candidate join, exact hamming ≤ 3 verify via
+    bit_count(xor) — every step shared-literal arithmetic so the oracle
+    replays it. The production 64-bit xxhash64 SimHash
+    (operators/dedup.py) keeps the same plan shape and is pytest-covered;
+    near-dup power comes from mutated twins (doc+100000 = first token
+    dropped)."""
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < SH_SAMPLE)
+        .select("doc_id", "text")
+    )
+    mut = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    toks = explode_whitespace_tokens(docs.unionByName(mut))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tid = term_id_col(F.col("term")) % MH_P
+    aggs = []
+    for j, (a, b) in enumerate(SH_HASHES):
+        sign = F.when(
+            ((tid * F.lit(a).cast("long") + F.lit(b)) % MH_P) % 2 == 1, 1
+        ).otherwise(-1)
+        aggs.append(F.sum(F.col("tf") * sign).alias(f"v{j}"))
+    v = tf.groupBy("doc_id").agg(*aggs)
+    sh = F.lit(0).cast("long")
+    for j in range(SH_BITS):
+        sh = sh + F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(0)
+    sig = v.select("doc_id", sh.alias("simhash"))
+    bands = []
+    for bnd in range(4):
+        bands.append(
+            sig.select(
+                "doc_id",
+                "simhash",
+                F.lit(bnd).alias("band"),
+                (F.shiftright(F.col("simhash"), bnd * 4) % 16).alias("bval"),
+            )
+        )
+    allb = bands[0]
+    for bdf in bands[1:]:
+        allb = allb.unionByName(bdf)
+    pairs = (
+        allb.alias("l")
+        .join(
+            allb.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bval") == F.col("r.bval"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.expr("l.simhash ^ r.simhash")
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= SH_MAX_HAMMING)
+    )
+    return pairs.select(
+        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+    )
 
 
 def q_ann_lsh_topk(spark, sf_dir):
@@ -544,7 +636,9 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_lang_id(spark, sf_dir):
-    """Heuristic language ID vs the labeled lang column (rows-only)."""
+    """Heuristic language ID vs the labeled lang column (DuckDB-oracled:
+    the script-ratio + marker-stopword heuristic is pure regex/list
+    arithmetic, replayed in RE2 syntax on the oracle side)."""
     from myaku_spark.operators.textstats import detect_language
 
     return detect_language(_docs(spark, sf_dir)).select(
@@ -554,7 +648,11 @@ def q_lang_id(spark, sf_dir):
 
 def q_ja_index_postings(spark, sf_dir):
     """Japanese pipeline over deterministic synthetic pages: extract UDF →
-    ja tokenize UDF → posting build (rows-only; golden parity in pytest)."""
+    ja tokenize UDF → posting build → per-url rollup with an
+    md5-term-id checksum. The oracle is a VALUES table computed at
+    oracle-build time by the pure-Python twins (synth_page text +
+    tokenize_ja_text + hashlib), so the gate catches any drift in the
+    Spark-side extraction/tokenization/aggregation plumbing."""
     from myaku_spark.functions.tokenize import explode_ja_tokens
     from myaku_spark.plans.build_index import extract_and_dedupe
     from myaku_spark.sources.pages import synth_pages_df
@@ -565,15 +663,24 @@ def q_ja_index_postings(spark, sf_dir):
     )
     toks = explode_ja_tokens(docs, "text", "doc_id")
     p = post_ops.build_postings(toks)
-    return p.join(docs.select("doc_id", "url"), "doc_id").select(
-        "url", "term", F.col("tf").cast("int").alias("tf")
+    tid_p = term_id_col(F.col("term")) % MH_P
+    rolled = p.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_postings"),
+        F.sum("tf").cast("long").alias("sum_tf"),
+        (F.sum((tid_p * F.col("tf")) % MH_P) % MH_P)
+        .cast("long")
+        .alias("checksum"),
+    )
+    return rolled.join(docs.select("doc_id", "url"), "doc_id").select(
+        "url", "n_postings", "sum_tf", "checksum"
     )
 
 
 def q_extraction_parity(spark, sf_dir):
     """Byte-identical extraction invariant: per-url SHA-256 of the
-    extract-UDF output vs the shipped text column (rows-only; every row
-    must have match=true)."""
+    extract-UDF output (oracle = VALUES of the expected hashes computed
+    from the deterministic synth corpus; a single changed byte anywhere
+    in the extraction pipeline fails the value-hash compare)."""
     from myaku_spark.functions.html_extract import extract_text_udf
     from myaku_spark.sources.pages import synth_pages_df
 
@@ -586,13 +693,14 @@ def q_extraction_parity(spark, sf_dir):
         (
             F.sha2(F.encode(F.col("ext"), "UTF-8"), 256)
             == F.sha2(F.encode(F.col("text"), "UTF-8"), 256)
-        ).alias("match"),
+        ).alias("is_match"),
     )
 
 
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payload → mapInPandas feature extraction
-    (deterministic stub kernel; rows-only)."""
+    (deterministic stub kernel; oracle = VALUES of the expected
+    (media_id, kind, n_bytes, dim) from the synth generator's twin)."""
     from myaku_spark.operators.multimodal import (
         extract_features,
         synth_media_df,
@@ -601,7 +709,7 @@ def q_media_features(spark, sf_dir):
     media = synth_media_df(spark, 48)
     feats = extract_features(media)
     return feats.select(
-        "media_id", "kind", "n_bytes", F.size("feature").alias("dim")
+        "media_id", "kind", "n_bytes", F.size("feature").cast("int").alias("dim")
     )
 
 
@@ -775,16 +883,186 @@ QUERIES = {
 _SQL_MH = f"""
 WITH {_SQL_TOKS},
 dterms AS (SELECT DISTINCT doc_id, term FROM toks),
-dict AS (
-  SELECT term, CAST(row_number() OVER (ORDER BY term) AS BIGINT) AS tid
-  FROM (SELECT DISTINCT term FROM dterms)
-),
-tt AS (SELECT d.doc_id, di.tid FROM dterms d JOIN dict di USING (term)),
+tt AS (SELECT doc_id, ({_SQL_TID} % {MH_P}) AS tid FROM dterms),
 sig AS (
   SELECT doc_id,
 {",".join(f"    CAST(min(({a} * tid + {b}) % {MH_P}) AS BIGINT) AS mh{i}" for i, (a, b) in enumerate(MH_HASHES))}
   FROM tt GROUP BY doc_id
 )
+"""
+
+# Shared near-dup sample + mutated-twin CTE (first token dropped).
+def _sql_mutated(limit: int, mut_limit: int | None = None) -> str:
+    m = mut_limit if mut_limit is not None else limit
+    return f"""
+combined AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < {limit}
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         substr(text, strpos(text, ' ') + 1) AS text
+  FROM documents WHERE doc_id < {m}
+)
+"""
+
+
+_SQL_SH = f"""
+{_sql_mutated(300, 20)},
+{_SQL_TOKS.replace("FROM documents", "FROM combined")},
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY doc_id, term),
+tt AS (SELECT doc_id, tf, ({_SQL_TID} % {MH_P}) AS tid FROM tf),
+v AS (
+  SELECT doc_id,
+{",".join(f"    sum(tf * (CASE WHEN ((tid * {a} + {b}) % {MH_P}) % 2 = 1 THEN 1 ELSE -1 END)) AS v{j}" for j, (a, b) in enumerate(SH_HASHES))}
+  FROM tt GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id,
+         CAST({" + ".join(f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SH_BITS))} AS BIGINT) AS simhash
+  FROM v
+),
+bands AS (
+{" UNION ALL ".join(f"  SELECT doc_id, simhash, {bnd} AS band, (simhash >> {bnd * 4}) % 16 AS bval FROM sig" for bnd in range(4))}
+)
+"""
+
+
+def _values_sql(rows: list[tuple], cols: list[str]) -> str:
+    """Literal VALUES oracle (expected output precomputed in Python)."""
+
+    def lit(v):
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        if v is None:
+            return "NULL"
+        return "'" + str(v).replace("'", "''") + "'"
+
+    vals = ",\n".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+    return (
+        f"SELECT * FROM (VALUES\n{vals}\n) AS t({', '.join(cols)})"
+    )
+
+
+def _extraction_parity_values() -> str:
+    """Expected (url, sha256(text), TRUE) for the 60 synth pages — the
+    byte-identical extraction invariant computed driver-free in Python."""
+    import hashlib
+
+    from myaku_spark.sources.pages import synth_page
+
+    rows = []
+    for i in range(60):
+        p = synth_page(i)
+        h = hashlib.sha256(p["text"].encode("utf-8")).hexdigest()
+        rows.append((p["url"], h, True))
+    return _values_sql(rows, ["url", "ext_hash", "is_match"])
+
+
+def _ja_postings_values() -> str:
+    """Expected per-url posting rollups for the 60 synth pages, computed
+    by the pure-Python tokenizer twin (tokenize_ja_text + hashlib term
+    ids) — validates the whole Spark extract→tokenize→reduce path."""
+    from myaku_spark.functions.tokenize import tokenize_ja_text
+    from myaku_spark.sources.pages import synth_page
+
+    rows = []
+    for i in range(60):
+        p = synth_page(i)
+        tf: dict[str, set] = {}
+        for t in tokenize_ja_text(p["text"]):
+            tf.setdefault(t["term"], set()).add((t["start"], t["length"]))
+        n_postings = len(tf)
+        sum_tf = sum(len(v) for v in tf.values())
+        checksum = (
+            sum((term_id_py(term) % MH_P) * len(v) % MH_P for term, v in tf.items())
+            % MH_P
+        )
+        rows.append((p["url"], n_postings, sum_tf, checksum))
+    return _values_sql(rows, ["url", "n_postings", "sum_tf", "checksum"])
+
+
+def _media_features_values() -> str:
+    """Expected (media_id, kind, n_bytes, dim) from the synth media
+    generator's deterministic payload sizes (multimodal.py)."""
+    kinds = ["image", "audio", "video"]
+    rows = [
+        (i, kinds[i % 3], 64 * (4 + i % 5), 64)
+        for i in range(48)
+    ]
+    return _values_sql(rows, ["media_id", "kind", "n_bytes", "dim"])
+
+
+_RE_RATIOS = {
+    "hiragana": "[ぁ-ゟ]",
+    "katakana": "[゠-ヿ]",
+    "cjk": "[一-鿿]",
+    "hangul": "[가-힯]",
+    "cyrillic": "[Ѐ-ӿ]",
+    "latin": "[A-Za-z]",
+}
+
+
+def _sql_ratio(cls: str) -> str:
+    pat = _RE_RATIOS[cls]
+    return (
+        f"(length(text) - length(regexp_replace(text, '{pat}', '', 'g')))"
+        " / greatest(length(text), 1)"
+    )
+
+
+def _sql_marker(words: list[str]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return (
+        "len(list_intersect(list_distinct("
+        "string_split_regex(lower(text), '\\s+')), "
+        f"[{lst}]))"
+    )
+
+
+def _lang_id_sql() -> str:
+    """DuckDB twin of textstats.detect_language: script-class ratios via
+    regexp_replace length-diff, Latin marker-stopword argmax replayed as
+    the same left-to-right fold (en→es→fr→de, strict >)."""
+    from myaku_spark.operators.textstats import LANG_MARKERS
+
+    m = {lang: _sql_marker(words) for lang, words in LANG_MARKERS.items()}
+    return f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         {_sql_ratio("hiragana")} AS hira,
+         {_sql_ratio("katakana")} AS kata,
+         {_sql_ratio("cjk")} AS cjk,
+         {_sql_ratio("hangul")} AS hangul,
+         {_sql_ratio("cyrillic")} AS cyr,
+         {_sql_ratio("latin")} AS lat,
+         {m["en"]} AS en_c, {m["es"]} AS es_c,
+         {m["fr"]} AS fr_c, {m["de"]} AS de_c
+  FROM documents
+),
+s1 AS (
+  SELECT *, CASE WHEN es_c > en_c THEN 'es' ELSE 'en' END AS bl1,
+         CASE WHEN es_c > en_c THEN es_c ELSE en_c END AS bc1
+  FROM r
+),
+s2 AS (
+  SELECT *, CASE WHEN fr_c > bc1 THEN 'fr' ELSE bl1 END AS bl2,
+         CASE WHEN fr_c > bc1 THEN fr_c ELSE bc1 END AS bc2
+  FROM s1
+),
+s3 AS (
+  SELECT *, CASE WHEN de_c > bc2 THEN 'de' ELSE bl2 END AS best_latin
+  FROM s2
+)
+SELECT doc_id, lang,
+       CASE WHEN hira + kata > 0.05 THEN 'ja'
+            WHEN hangul > 0.2 THEN 'ko'
+            WHEN cjk > 0.3 THEN 'zh'
+            WHEN cyr > 0.3 THEN 'ru'
+            WHEN lat > 0.2 THEN best_latin
+            ELSE 'und' END AS lang_pred
+FROM s3
 """
 
 _mh_per_band = len(MH_HASHES) // MH_BANDS
@@ -904,15 +1182,11 @@ SELECT doc_id, round(avg(CAST(len AS DOUBLE)), 4) AS avg_token_len,
 FROM toks GROUP BY doc_id
 """,
     "doc_fingerprint": f"""
-WITH {_SQL_TOKS},
-dict AS (
-  SELECT term, CAST(row_number() OVER (ORDER BY term) AS BIGINT) AS tid
-  FROM (SELECT DISTINCT term FROM toks)
-)
+WITH {_SQL_TOKS}
 SELECT doc_id,
-       CAST(sum(tid * (1 + CAST(start AS BIGINT)) % 2147483647)
-            % 2147483647 AS BIGINT) AS fingerprint
-FROM toks JOIN dict USING (term) GROUP BY doc_id
+       CAST(sum((({_SQL_TID} % 2147483647) * (1 + CAST(start AS BIGINT)))
+            % 2147483647) % 2147483647 AS BIGINT) AS fingerprint
+FROM toks GROUP BY doc_id
 """,
     "minhash_signature": f"{_SQL_MH} SELECT * FROM sig",
     "minhash_lsh_pairs": f"""
@@ -923,8 +1197,9 @@ FROM bands l JOIN bands r
   ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
 """,
     "ngram_jaccard_pairs": f"""
-WITH {_SQL_TOKS},
-st AS (SELECT * FROM toks WHERE doc_id < 100),
+WITH {_sql_mutated(50)},
+{_SQL_TOKS.replace("FROM documents", "FROM combined")},
+st AS (SELECT * FROM toks),
 sh0 AS (
   SELECT doc_id, term,
          lead(term, 1) OVER (PARTITION BY doc_id ORDER BY start) AS t2,
@@ -1071,4 +1346,16 @@ r AS (SELECT h, doc_id, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
       FROM h)
 SELECT h, doc_id AS keeper_doc_id FROM r WHERE rn = 1
 """,
+    "simhash_pairs": f"""
+WITH {_SQL_SH}
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+FROM bands l JOIN bands r
+  ON l.band = r.band AND l.bval = r.bval AND l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= {SH_MAX_HAMMING}
+""",
+    "lang_id": _lang_id_sql(),
+    "extraction_parity": _extraction_parity_values(),
+    "ja_index_postings": _ja_postings_values(),
+    "media_features": _media_features_values(),
 }
