@@ -713,6 +713,152 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_interp_position_map(spark, sf_dir):
+    """Interp structures (datatypes.py:307-505): per (url, term) rollup
+    of interpretation variety — how many distinct interp source sets the
+    term has in the doc (possible_interps), how many of its positions
+    carry a JMdict (non-MeCab) interp, and where the first such position
+    is (the interp_position_map surface). Oracle = VALUES from the
+    pure-Python tokenizer twin."""
+    from myaku_spark.functions.tokenize import explode_ja_tokens
+    from myaku_spark.plans.build_index import extract_and_dedupe
+    from myaku_spark.sources.pages import synth_pages_df
+
+    pages = synth_pages_df(spark, 300, partitions=8)
+    docs = extract_and_dedupe(pages).withColumn("doc_id", F.xxhash64("url"))
+    toks = explode_ja_tokens(docs, "text", "doc_id", include_analysis=True)
+    k = F.array_join(
+        F.transform(F.col("sources"), lambda x: x.cast("string")), ","
+    )
+    agg = (
+        toks.withColumn("srckey", k)
+        .groupBy("doc_id", "term")
+        .agg(
+            F.countDistinct("srckey").cast("long").alias("n_interps"),
+            F.sum(F.when(F.col("srckey") != "1", 1).otherwise(0))
+            .cast("long")
+            .alias("n_jmdict_positions"),
+            F.min(F.when(F.col("srckey") != "1", F.col("start")))
+            .cast("int")
+            .alias("first_jmdict_start"),
+        )
+        .filter((F.col("n_interps") > 1) | (F.col("n_jmdict_positions") > 0))
+    )
+    return agg.join(docs.select("doc_id", "url"), "doc_id").select(
+        "url", "term", "n_interps", "n_jmdict_positions", "first_jmdict_start"
+    )
+
+
+def _interp_position_map_values() -> str:
+    from myaku_spark.functions.tokenize import tokenize_ja_text
+    from myaku_spark.sources.pages import synth_page
+
+    rows = []
+    for i in range(300):
+        p = synth_page(i)
+        per_term: dict[str, list] = {}
+        for t in tokenize_ja_text(p["text"]):
+            per_term.setdefault(t["term"], []).append(
+                (tuple(t["sources"]), t["start"])
+            )
+        for term, occ in per_term.items():
+            keys = {k for k, _ in occ}
+            jm = [s for k, s in occ if k != (1,)]
+            if len(keys) > 1 or jm:
+                rows.append(
+                    (
+                        p["url"],
+                        term,
+                        len(keys),
+                        len(jm),
+                        min(jm) if jm else None,
+                    )
+                )
+    return _values_sql(
+        rows,
+        ["url", "term", "n_interps", "n_jmdict_positions", "first_jmdict_start"],
+    )
+
+
+def q_blog_rollup(spark, sf_dir):
+    """J2 blog dimension end-to-end: synth pages ⋈ article→blog map ⋈
+    broadcast blogs dimension → full 5-factor quality score → per-blog
+    rollup. Oracle = VALUES computed by the pure-Python scorer twin
+    (bucket_score + the same weights), so every factor's bucket table and
+    the broadcast hydration path are value-checked."""
+    from myaku_spark.functions.textfns import alnum_count_udf
+    from myaku_spark.operators.scoring import (
+        attach_blog_dimension,
+        full_article_score_col,
+    )
+    from myaku_spark.plans.build_index import extract_and_dedupe
+    from myaku_spark.sources.blogs import synth_blog_map_df, synth_blogs_df
+    from myaku_spark.sources.pages import synth_pages_df
+
+    pages = synth_pages_df(spark, 60, partitions=4)
+    docs = extract_and_dedupe(pages).withColumn(
+        "alnum", alnum_count_udf(F.col("text"))
+    )
+    scored = attach_blog_dimension(
+        docs, synth_blog_map_df(spark, 60), synth_blogs_df(spark)
+    ).withColumn(
+        "score", full_article_score_col(F.lit(FIXED_NOW).cast("timestamp"))
+    )
+    return scored.groupBy("blog_url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_articles"),
+        F.sum("score").cast("long").alias("sum_score"),
+        F.max("score").cast("long").alias("max_score"),
+    )
+
+
+def _blog_rollup_values() -> str:
+    """Python twin of q_blog_rollup: the exact factor arithmetic
+    (scorer/__init__.py:27-60 weights × factor_scorers bucket tables)
+    over the deterministic synth corpus."""
+    import datetime as dt
+    import math
+
+    from myaku_spark.functions.textfns import alnum_count_py
+    from myaku_spark.operators.scoring import (
+        ARTICLE_FACTOR_WEIGHTS,
+        KAKUYOMU_STAR_BUCKETS,
+        LENGTH_BUCKETS,
+        RECENCY_BUCKETS,
+        bucket_score,
+    )
+    from myaku_spark.sources.blogs import synth_blog_map_rows
+    from myaku_spark.sources.pages import synth_page
+
+    now = dt.datetime.fromisoformat(FIXED_NOW)
+    bmap = {r[0]: r for r in synth_blog_map_rows(60)}
+    rollup: dict[str, list] = {}
+    for i in range(60):
+        p = synth_page(i)
+        url, blog_url, _, order, section, video = bmap[p["url"]]
+        k = int(blog_url.rsplit("-", 1)[1])
+        rating = (k * 13) % 120
+        days = math.floor((now - p["warc_ts"]).total_seconds() / 86400.0)
+        score = (
+            bucket_score(alnum_count_py(p["text"]), LENGTH_BUCKETS)
+            * ARTICLE_FACTOR_WEIGHTS["length"]
+            + (1000 if order == 1 else (500 if section == 1 else 0))
+            * ARTICLE_FACTOR_WEIGHTS["blog_order"]
+            + bucket_score(rating, KAKUYOMU_STAR_BUCKETS)
+            * ARTICLE_FACTOR_WEIGHTS["blog_rating"]
+            + (1000 if video else 0) * ARTICLE_FACTOR_WEIGHTS["video"]
+            + bucket_score(days, RECENCY_BUCKETS)
+            * ARTICLE_FACTOR_WEIGHTS["recency"]
+        )
+        agg = rollup.setdefault(blog_url, [0, 0, None])
+        agg[0] += 1
+        agg[1] += score
+        agg[2] = score if agg[2] is None else max(agg[2], score)
+    rows = [
+        (b, n, s, mx) for b, (n, s, mx) in sorted(rollup.items())
+    ]
+    return _values_sql(rows, ["blog_url", "n_articles", "sum_score", "max_score"])
+
+
 def q_pagination_page2(spark, sf_dir):
     """K2 pagination: page 2 (ranks 11-20) of the rank-key retrieval."""
     docs = _docs(spark, sf_dir)
@@ -869,6 +1015,8 @@ QUERIES = {
     "ja_index_postings": q_ja_index_postings,
     "extraction_parity": q_extraction_parity,
     "media_features": q_media_features,
+    "interp_position_map": q_interp_position_map,
+    "blog_rollup": q_blog_rollup,
     "pagination_page2": q_pagination_page2,
     "source_stats": q_source_stats,
     "event_sessions": q_event_sessions,
@@ -1354,6 +1502,8 @@ FROM bands l JOIN bands r
   ON l.band = r.band AND l.bval = r.bval AND l.doc_id < r.doc_id
 WHERE bit_count(xor(l.simhash, r.simhash)) <= {SH_MAX_HAMMING}
 """,
+    "interp_position_map": _interp_position_map_values(),
+    "blog_rollup": _blog_rollup_values(),
     "lang_id": _lang_id_sql(),
     "extraction_parity": _extraction_parity_values(),
     "ja_index_postings": _ja_postings_values(),

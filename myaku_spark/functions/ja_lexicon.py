@@ -152,10 +152,18 @@ def _expand_conjugations(base: str, pos: str, conj: str | None):
 @dataclass
 class JMdictSubset:
     """Reference JMdict twin: entry/text-form map + MeCab-decomp map
-    (japanese_analysis.py:750-780) over the curated entry subset."""
+    (japanese_analysis.py:750-780) over the curated entry subset.
+
+    ``prefixes`` / ``decomp_heads`` power the meta-scan fast path: a
+    span starting at token t can only match an entry if t.surface or
+    t.base is a prefix of some text form (surface/base concat lookups)
+    or t.base heads some decomp key — positions failing all three are
+    skipped without forming any span."""
 
     entry_map: dict[str, list[tuple[str, str]]] = field(default_factory=dict)
     decomp_map: dict[tuple, list[tuple[str, str]]] = field(default_factory=dict)
+    prefixes: set = field(default_factory=set)
+    decomp_heads: set = field(default_factory=set)
     max_text_form_len: int = 0
     max_decomp_len: int = 0
 
@@ -163,6 +171,10 @@ class JMdictSubset:
         ent = (entry_id, text_form)
         self.entry_map.setdefault(text_form, []).append(ent)
         self.decomp_map.setdefault(decomp, []).append(ent)
+        for i in range(1, len(text_form) + 1):
+            self.prefixes.add(text_form[:i])
+        if decomp:
+            self.decomp_heads.add(decomp[0])
         self.max_text_form_len = max(self.max_text_form_len, len(text_form))
         self.max_decomp_len = max(self.max_decomp_len, len(decomp))
 

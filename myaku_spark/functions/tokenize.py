@@ -40,6 +40,7 @@ Token dict: (surface, base, term, start, length, pos, sources, entry_id)
 
 from __future__ import annotations
 
+import functools as _functools
 import re as _re
 import unicodedata
 
@@ -360,16 +361,76 @@ def _jmdict_meta_items(toks: list[dict], jm: JMdictSubset) -> list[dict]:
     """Scan all list-adjacent spans of ≥2 items, like
     _find_meta_lexical_items (japanese_analysis.py:248-279). Runs over
     the FULL item list including symbols (the reference probes before
-    its symbol filter), so spans never bridge a dropped symbol."""
+    its symbol filter), so spans never bridge a dropped symbol.
+
+    Fast path: a span starting at token t can only hit JMdict if
+    t.surface/t.base prefixes a text form or t.base heads a decomp key
+    (prefix sets precomputed in JMdictSubset) — everything else skips
+    without forming spans; the surviving spans accumulate their concat
+    strings incrementally instead of re-slicing/re-summing."""
     out: list[dict] = []
     n = len(toks)
+    prefixes = jm.prefixes
+    heads = jm.decomp_heads
+    entry_map = jm.entry_map
+    decomp_map = jm.decomp_map
+    max_items = jm.max_decomp_len
+    max_chars = jm.max_text_form_len
     for a in range(n):
+        t0 = toks[a]
+        if (
+            t0["surface"] not in prefixes
+            and t0["base"] not in prefixes
+            and t0["base"] not in heads
+        ):
+            continue
+        surf = t0["surface"]
+        base = t0["base"]
+        bases = [base]
+        start = t0["start"]
         b = a + 1
         while b < n:
-            span = toks[a : b + 1]
-            if not _within_jmdict_max_len(span, jm):
+            tb = toks[b]
+            surf = surf + tb["surface"]
+            base = base + tb["base"]
+            bases.append(tb["base"])
+            if not (
+                len(bases) <= max_items
+                or len(base) <= max_chars
+                or len(surf) <= max_chars
+            ):
                 break
-            out.extend(_lookup_meta(span, jm))
+            decomp_entries = decomp_map.get(tuple(bases), ())
+            surface_entries = entry_map.get(surf, ())
+            base_entries = entry_map.get(base, ())
+            if decomp_entries or surface_entries or base_entries:
+                seen = set()
+                for ent in (
+                    list(decomp_entries)
+                    + list(surface_entries)
+                    + list(base_entries)
+                ):
+                    if ent in seen:
+                        continue
+                    seen.add(ent)
+                    sources = []
+                    if ent in decomp_entries:
+                        sources.append(2)
+                    if ent in surface_entries:
+                        sources.append(3)
+                    if ent in base_entries:
+                        sources.append(4)
+                    out.append(
+                        dict(
+                            surface=surf,
+                            base=ent[1],
+                            start=start,
+                            length=len(surf),
+                            pos=None,
+                            sources=sources,
+                            entry_id=ent[0],
+                        )
+                    )
             b += 1
     return out
 
@@ -408,10 +469,16 @@ def tokenize_ja_text(
         out.extend(metas)
         offset += len(block) + 1
     # Width-normalize the base form into the posting key
-    # (datatypes.py:399-405).
+    # (datatypes.py:399-405). Bases repeat heavily → memoized.
+    norm = _norm_cached
     for t in out:
-        t["term"] = normalize_char_width(t["base"])
+        t["term"] = norm(t["base"])
     return out
+
+
+@_functools.lru_cache(maxsize=1 << 16)
+def _norm_cached(s: str) -> str:
+    return normalize_char_width(s)
 
 
 def make_ja_tokens_udf(lexicon=None):

@@ -121,7 +121,9 @@ def blog_order_score_col(
 
 def blog_rating_score_col(source_name: Column, rating: Column) -> Column:
     """News sources → fixed floor(1000*0.25); Kakuyomu → star buckets on
-    int(rating)."""
+    int(rating); no blog data at all → neutral 0 (the reference raises
+    for unknown sources, factor_scorers.py:270-296 — here articles
+    without a blog dimension simply take the neutral factor)."""
     fixed = None
     for src, mult in FIXED_SOURCE_MULTIPLIERS.items():
         score = math.floor(MAX_FACTOR_SCORE * mult)
@@ -130,7 +132,54 @@ def blog_rating_score_col(source_name: Column, rating: Column) -> Column:
     star = bucket_multiplier_col(
         rating.cast("int").cast("double"), KAKUYOMU_STAR_BUCKETS
     )
-    return fixed.otherwise(star)
+    return fixed.otherwise(
+        F.when(source_name.isNull() | rating.isNull(), F.lit(0)).otherwise(star)
+    )
+
+
+def attach_blog_dimension(
+    docs, blog_map, blogs, url_col: str = "url"
+):
+    """docs ⋈ blog_map (url → blog fields) ⋈ broadcast blogs dimension
+    (J2, index_search.py:84-93). Left joins: articles without a blog
+    keep null blog columns and score the neutral factors. Both right
+    sides are dimension-sized (#articles→blog rows, #series rows) —
+    always broadcast, never a shuffle of the fact table."""
+    m = blog_map.select(
+        F.col("url").alias(url_col),
+        "blog_url",
+        F.col("source_name").alias("_map_source"),
+        "blog_article_order_num",
+        "blog_section_order_num",
+        "has_video",
+    )
+    b = blogs.select(
+        "blog_url", F.col("source_name").alias("_blog_source"), "rating"
+    )
+    out = (
+        docs.join(F.broadcast(m), url_col, "left")
+        .join(F.broadcast(b), "blog_url", "left")
+        .withColumn(
+            "source_name", F.coalesce(F.col("_map_source"), F.col("_blog_source"))
+        )
+        .drop("_map_source", "_blog_source")
+    )
+    return out
+
+
+def full_article_score_col(now: Column) -> Column:
+    """article_quality_score_col over the attach_blog_dimension columns
+    (alnum, warc_ts + blog fields) — the complete 5-factor weighted sum."""
+    return article_quality_score_col(
+        F.col("alnum"),
+        F.col("warc_ts"),
+        now,
+        has_video=F.col("has_video"),
+        source_name=F.col("source_name"),
+        rating=F.col("rating"),
+        blog_order_num=F.col("blog_article_order_num"),
+        section_order_num=F.col("blog_section_order_num"),
+    )
 
 
 def tf_score_mod_col(tf: Column) -> Column:

@@ -108,6 +108,8 @@ def build_group(
     id_offset: int = 0,
     mode: str = "myaku",
     with_analysis: bool = False,
+    blogs: DataFrame | None = None,
+    blog_map: DataFrame | None = None,
 ) -> dict:
     """Build one partition group end-to-end; returns its metrics row.
 
@@ -131,12 +133,25 @@ def build_group(
     docs = docs.withColumn(
         "doc_id", F.col("doc_id") + F.lit(id_offset).cast("long")
     )
-    docs = docs.withColumn("alnum", alnum_count_udf(F.col("text"))).withColumn(
-        "doc_score",
-        article_quality_score_col(
-            F.col("alnum"), F.col("warc_ts"), F.lit(now).cast("timestamp")
-        ),
-    )
+    docs = docs.withColumn("alnum", alnum_count_udf(F.col("text")))
+    if blogs is not None and blog_map is not None:
+        # J2 blog dimension: broadcast hydration join feeding the full
+        # 5-factor score (length/blog_order/blog_rating/video/recency).
+        from myaku_spark.operators.scoring import (
+            attach_blog_dimension,
+            full_article_score_col,
+        )
+
+        docs = attach_blog_dimension(docs, blog_map, blogs).withColumn(
+            "doc_score", full_article_score_col(F.lit(now).cast("timestamp"))
+        )
+    else:
+        docs = docs.withColumn(
+            "doc_score",
+            article_quality_score_col(
+                F.col("alnum"), F.col("warc_ts"), F.lit(now).cast("timestamp")
+            ),
+        )
     docs.persist()
 
     # Tokenize + per-doc posting reduce in ONE mapInPandas pass (A1 is
@@ -237,6 +252,8 @@ def build_index(
     run_id: str | None = None,
     mode: str = "myaku",
     with_analysis: bool = False,
+    blogs: DataFrame | None = None,
+    blog_map: DataFrame | None = None,
 ) -> list[dict]:
     """Full resumable build. Returns per-group metrics (also persisted)."""
     run_id = run_id or uuid.uuid4().hex[:12]
@@ -276,6 +293,8 @@ def build_index(
             id_offset=g * (1 << 40),
             mode=mode,
             with_analysis=with_analysis,
+            blogs=blogs,
+            blog_map=blog_map,
         )
         metrics.append(row)
         spark.createDataFrame([row]).withColumn(

@@ -19,20 +19,131 @@ def _const(node):
     return node.value if isinstance(node, ast.Constant) else None
 
 
+def _doc_value(v):
+    """Constant (incl. negative literals), or the ISO string inside
+    datetime.fromisoformat(...)."""
+    c = _const(v)
+    if c is not None:
+        return c
+    if isinstance(v, ast.UnaryOp) and isinstance(v.op, ast.USub):
+        inner = _const(v.operand)
+        if isinstance(inner, (int, float)):
+            return -inner
+    if (
+        isinstance(v, ast.Call)
+        and isinstance(v.func, ast.Attribute)
+        and v.func.attr == "fromisoformat"
+        and v.args
+    ):
+        return _const(v.args[0])
+    return None
+
+
+def _dict_to_doc(elt: ast.Dict) -> dict:
+    doc = {}
+    for k, v in zip(elt.keys, elt.values):
+        key = _const(k)
+        val = _doc_value(v)
+        if key is not None and val is not None:
+            doc[key] = val
+    return doc
+
+
 def _extract_docs(list_node: ast.List) -> list[dict]:
     docs = []
     for elt in list_node.elts:
         if not isinstance(elt, ast.Dict):
             continue
-        doc = {}
-        for k, v in zip(elt.keys, elt.values):
-            key = _const(k)
-            val = _const(v)
-            if key is not None and val is not None:
-                doc[key] = val
+        doc = _dict_to_doc(elt)
         if "full_text" in doc:
             docs.append(doc)
     return docs
+
+
+@lru_cache(maxsize=1)
+def golden_blog_docs() -> tuple[list[dict], list[dict]]:
+    """(initial, update) expected blog docs (test_crawl.py:64-190):
+    the update stage REPLACES entries [0]/[2] (re-crawled series with new
+    ratings) and appends Series 4."""
+    tree = ast.parse(open(REF_TEST, encoding="utf-8").read())
+    initial: list[dict] = []
+    replacements: dict[int, dict] = {}
+    appended: list[dict] = []
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign) and node.targets:
+            t0 = node.targets[0]
+            if (
+                getattr(t0, "id", None) == "INITIAL_CRAWL_EXPECTED_BLOG_DOCS"
+                and isinstance(node.value, ast.List)
+            ):
+                initial = [
+                    _dict_to_doc(e)
+                    for e in node.value.elts
+                    if isinstance(e, ast.Dict)
+                ]
+            if (
+                isinstance(t0, ast.Subscript)
+                and getattr(t0.value, "id", None)
+                == "UPDATE_CRAWL_EXPECTED_BLOG_DOCS"
+                and isinstance(node.value, ast.Dict)
+            ):
+                replacements[_const(t0.slice)] = _dict_to_doc(node.value)
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr == "append"
+            and getattr(node.func.value, "id", None)
+            == "UPDATE_CRAWL_EXPECTED_BLOG_DOCS"
+            and node.args
+            and isinstance(node.args[0], ast.Dict)
+        ):
+            appended.append(_dict_to_doc(node.args[0]))
+    update = list(initial)
+    for idx, doc in replacements.items():
+        update[idx] = doc
+    update.extend(appended)
+    return initial, update
+
+
+@lru_cache(maxsize=1)
+def golden_article_meta() -> tuple[list[dict], list[dict]]:
+    """(initial, update-only) article docs with ALL scalar fields kept
+    (title, source_name, blog_oid, order nums, has_video, alnum_count,
+    quality_score, last_updated_datetime ISO string, ...)."""
+    tree = ast.parse(open(REF_TEST, encoding="utf-8").read())
+    initial: list[dict] = []
+    update: list[dict] = []
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign) and node.targets:
+            name = getattr(node.targets[0], "id", None)
+            if name == "INITIAL_CRAWL_EXPECTED_ARTICLE_DOCS" and isinstance(
+                node.value, ast.List
+            ):
+                initial = [
+                    _dict_to_doc(e)
+                    for e in node.value.elts
+                    if isinstance(e, ast.Dict)
+                ]
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr == "extend"
+            and getattr(node.func.value, "id", None)
+            == "UPDATE_CRAWL_EXPECTED_ARTICLE_DOCS"
+            and node.args
+            and isinstance(node.args[0], ast.List)
+        ):
+            update = [
+                _dict_to_doc(e)
+                for e in node.args[0].elts
+                if isinstance(e, ast.Dict)
+            ]
+    return initial, update
+
+
+# Frozen scoring instants (test_crawl.py:40-41; patch_utcnow at :2366/2373).
+GOLDEN_INITIAL_NOW = "2019-09-06 05:00:00"
+GOLDEN_UPDATE_NOW = "2019-09-07 16:30:00"
 
 
 def _extract_url_map(dict_node: ast.Dict) -> dict[str, str]:
