@@ -74,11 +74,25 @@ def main() -> None:
         n_pages = max(200, int(float(sf_name) * 20000))
     except ValueError:
         n_pages = 2000
+    from myaku_spark.sources.blogs import synth_blog_map_df, synth_blogs_df
+
     pages = synth_pages_df(spark, n_pages, partitions=max(cpus, 8)).persist()
     pages.count()
     idx_dir = tempfile.mkdtemp(prefix="bench_idx_")
     t0 = time.time()
-    m = build_index(spark, pages, idx_dir, n_groups=1)
+    m = build_index(
+        spark,
+        pages,
+        idx_dir,
+        n_groups=1,
+        blogs=synth_blogs_df(spark),
+        blog_map=synth_blog_map_df(spark, n_pages),
+        # Block tuning scaled to the bench corpus so head terms are
+        # genuinely range-blocked and the two-phase skip path is
+        # exercised (production defaults: 4096/4096 for 10^9+ docs).
+        head_df_threshold=64,
+        block_doc_range=64,
+    )
     build_sec = time.time() - t0
     built_docs = sum(r["docs"] for r in m)
     docs_per_sec = built_docs / build_sec if build_sec > 0 else 0.0
@@ -97,12 +111,40 @@ def main() -> None:
         .limit(3)
         .collect()
     ]
+    rare_term = (
+        spark.read.parquet(f"{idx_dir}/term_stats")
+        .groupBy("term")
+        .agg(F2.sum("df").alias("df"))
+        .orderBy(F2.asc("df"), F2.asc("term"))
+        .limit(1)
+        .collect()[0]
+        .term
+    )
     searcher = IndexSearcher(spark, idx_dir, mode="myaku")
     t0 = time.time()
     for t in top_terms:
         searcher.search([t], k=10)
     searcher.search(top_terms[:2], k=10, combine="and")
     timings["wand_search_4q"] = round(time.time() - t0, 3)
+
+    # Skewed head-term AND rare-term query through the LAZY two-phase
+    # path: driver bytes must stay a strict subset of the head term's
+    # posting bytes (the round-1 blob-collect scale risk, now bounded).
+    seg_bytes_total = int(
+        spark.read.parquet(f"{idx_dir}/segments")
+        .filter(F2.col("term").isin([top_terms[0], rare_term]))
+        .agg(F2.sum(F2.length("blob")))
+        .collect()[0][0]
+        or 0
+    )
+    lazy = IndexSearcher(spark, idx_dir, mode="myaku")
+    lazy.store.eager_postings = 0
+    lazy.store.prefetch_blocks = 1  # pure demand-driven, no window overshoot
+    t0 = time.time()
+    lazy.search([top_terms[0], rare_term], k=10, combine="and")
+    timings["wand_headterm_and"] = round(time.time() - t0, 3)
+    wand_bytes = int(lazy.store.bytes_fetched)
+    wand_jobs = int(lazy.store.fetch_jobs)
     shutil.rmtree(idx_dir, ignore_errors=True)
     pages.unpersist()
 
@@ -120,6 +162,9 @@ def main() -> None:
                 "index_build_pages": n_pages,
                 "index_build_sec": round(build_sec, 3),
                 "docs_per_sec": round(docs_per_sec, 1),
+                "headterm_bytes_to_driver": wand_bytes,
+                "headterm_segment_bytes": seg_bytes_total,
+                "headterm_fetch_jobs": wand_jobs,
                 "cpus": cpus,
             }
         )

@@ -73,12 +73,18 @@ class SegmentBlobStore:
         prefetch_blocks: int = 64,
         max_terms: int = 256,
         max_blob_bytes: int = 1 << 28,
+        eager_postings: int = 200_000,
     ):
         self.spark = spark
         self.seg_path = seg_path
         self.prefetch_blocks = prefetch_blocks
         self.max_terms = max_terms
         self.max_blob_bytes = max_blob_bytes
+        # Terms whose TOTAL posting count is below this are fetched whole
+        # in one job at query start (a few MB at most — one Spark job
+        # instead of one per forward window); head terms above it stay
+        # lazy so driver bytes remain bounded by what WAND opens.
+        self.eager_postings = eager_postings
         self.meta: OrderedDict[str, list] = OrderedDict()
         self.blobs: OrderedDict[tuple, bytes] = OrderedDict()
         self.cached_blob_bytes = 0
@@ -108,10 +114,45 @@ class SegmentBlobStore:
 
     def meta_rows(self, terms: list[str]) -> list:
         self.ensure_terms(terms)
+        self._prefetch_small(terms)
         out = []
         for t in terms:
             out.extend(self.meta.get(t, []))
         return out
+
+    def _prefetch_small(self, terms: list[str]) -> None:
+        """One batched blob fetch for all small query terms."""
+        small = [
+            t
+            for t in terms
+            if self.meta.get(t)
+            and sum(r.n_postings for r in self.meta[t]) <= self.eager_postings
+            and any(
+                (t, r.group, r.block_id) not in self.blobs for r in self.meta[t]
+            )
+        ]
+        if not small:
+            return
+        buckets = list({int(self.meta[t][0].bucket) for t in small})
+        rows = (
+            self.spark.read.parquet(self.seg_path)
+            .filter(F.col("bucket").isin(buckets) & F.col("term").isin(small))
+            .select("term", "group", "block_id", "blob")
+            .collect()
+        )
+        self.fetch_jobs += 1
+        for r in rows:
+            self._store_blob((r.term, r.group, r.block_id), bytes(r.blob))
+
+    def _store_blob(self, key: tuple, b: bytes) -> None:
+        if key in self.blobs:
+            return
+        self.blobs[key] = b
+        self.bytes_fetched += len(b)
+        self.cached_blob_bytes += len(b)
+        while self.cached_blob_bytes > self.max_blob_bytes and self.blobs:
+            _, old = self.blobs.popitem(last=False)
+            self.cached_blob_bytes -= len(old)
 
     def blob(self, term: str, group, block_id) -> bytes:
         key = (term, group, block_id)
@@ -144,15 +185,7 @@ class SegmentBlobStore:
         )
         self.fetch_jobs += 1
         for r in rows:
-            b = bytes(r.blob)
-            self.blobs[(term, r.group, r.block_id)] = b
-            self.bytes_fetched += len(b)
-            self.cached_blob_bytes += len(b)
-        while self.cached_blob_bytes > self.max_blob_bytes and self.blobs:
-            _, old = self.blobs.popitem(last=False)
-            self.cached_blob_bytes -= len(old)
-        # The requested blob may have been evicted in a pathological
-        # window; re-read it directly in that case.
+            self._store_blob((term, r.group, r.block_id), bytes(r.blob))
         if key not in self.blobs:
             raise KeyError(f"segment blob not found: {key}")
         return self.blobs[key]

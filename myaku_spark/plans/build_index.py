@@ -110,6 +110,8 @@ def build_group(
     with_analysis: bool = False,
     blogs: DataFrame | None = None,
     blog_map: DataFrame | None = None,
+    head_df_threshold: int | None = None,
+    block_doc_range: int | None = None,
 ) -> dict:
     """Build one partition group end-to-end; returns its metrics row.
 
@@ -169,8 +171,16 @@ def build_group(
         .withColumn("score_mod", tf_score_mod_col(F.col("tf")))
         .withColumn("score", (F.col("doc_score") + F.col("score_mod")).cast("long"))
     )  # dl already rides on each posting row
+    from myaku_spark.operators.segments import (
+        BLOCK_DOC_RANGE,
+        HEAD_DF_THRESHOLD,
+    )
+
     segments = build_segments(
-        scored, payload_col="score" if mode == "myaku" else "dl"
+        scored,
+        payload_col="score" if mode == "myaku" else "dl",
+        head_df_threshold=head_df_threshold or HEAD_DF_THRESHOLD,
+        block_doc_range=block_doc_range or BLOCK_DOC_RANGE,
     )
     write_segments(segments, f"{index_dir}/segments/group={group}")
 
@@ -233,10 +243,11 @@ def build_group(
 
 
 def completed_groups(spark: SparkSession, index_dir: str) -> set[int]:
-    try:
-        cp = spark.read.parquet(f"{index_dir}/checkpoints")
-    except Exception:
+    from myaku_spark.plans import catalog
+
+    if not catalog.parquet_exists(f"{index_dir}/checkpoints"):
         return set()
+    cp = spark.read.parquet(f"{index_dir}/checkpoints")
     return {
         r.group for r in cp.filter(F.col("status") == "done").select("group").collect()
     }
@@ -254,6 +265,8 @@ def build_index(
     with_analysis: bool = False,
     blogs: DataFrame | None = None,
     blog_map: DataFrame | None = None,
+    head_df_threshold: int | None = None,
+    block_doc_range: int | None = None,
 ) -> list[dict]:
     """Full resumable build. Returns per-group metrics (also persisted)."""
     run_id = run_id or uuid.uuid4().hex[:12]
@@ -269,14 +282,14 @@ def build_index(
     # NOT group-local — and resumed runs skip re-extraction entirely.
     # Written partitioned by _group so each group build reads only its
     # partition (partition pruning on the parquet scan).
+    from myaku_spark.plans import catalog
+
     ext_path = f"{index_dir}/extracted"
-    try:
-        tagged = spark.read.parquet(ext_path)
-    except Exception:
+    if not catalog.parquet_exists(ext_path):
         extract_and_dedupe(pages).withColumn(
             "_group", _group_col(F.col("url"), n_groups)
         ).write.mode("overwrite").partitionBy("_group").parquet(ext_path)
-        tagged = spark.read.parquet(ext_path)
+    tagged = spark.read.parquet(ext_path)
     metrics = []
     for g in range(n_groups):
         if g in done:
@@ -295,6 +308,8 @@ def build_index(
             with_analysis=with_analysis,
             blogs=blogs,
             blog_map=blog_map,
+            head_df_threshold=head_df_threshold,
+            block_doc_range=block_doc_range,
         )
         metrics.append(row)
         spark.createDataFrame([row]).withColumn(

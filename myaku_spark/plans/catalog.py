@@ -52,6 +52,14 @@ def publish(index_dir: str, entry: dict) -> None:
     os.replace(tmp, p)
 
 
+def parquet_exists(path: str) -> bool:
+    """Local-fs existence check for an optional parquet dir — avoids the
+    AnalysisException + ERROR-log noise of probing with spark.read (the
+    round-1 bench tail pollution). On an object store this is a catalog
+    lookup instead."""
+    return os.path.isdir(path) and bool(os.listdir(path))
+
+
 def gc_versions(index_dir: str, keep_versions: set[int]) -> list[str]:
     """Delete versioned dirs whose version is not in keep_versions
     (callers keep at least {current, previous} for in-flight readers)."""

@@ -62,15 +62,14 @@ def detect_changes(
     can_store_article (datastore/index_build.py:116-143): a page whose
     text_hash exists under ANY live url is skipped (first-writer-wins
     across the whole corpus)."""
-    docs = _existing_docs(spark, index_dir).select("doc_id", "url", "text_hash")
-    try:
-        from myaku_spark.plans import catalog
+    from myaku_spark.plans import catalog
 
-        tombs = spark.read.parquet(
-            catalog.path_of(index_dir, "tombstones")
-        ).select("doc_id")
+    docs = _existing_docs(spark, index_dir).select("doc_id", "url", "text_hash")
+    tomb_path = catalog.path_of(index_dir, "tombstones")
+    if catalog.parquet_exists(tomb_path):
+        tombs = spark.read.parquet(tomb_path).select("doc_id")
         live = docs.join(tombs, "doc_id", "left_anti")
-    except Exception:
+    else:
         live = docs
     # Hash the CANONICAL (extracted) text — the same bytes the index
     # stores — not the shipped text column, else a page whose html is
@@ -101,14 +100,16 @@ def incremental_update(
     """Index only changed/new pages; tombstone superseded docs.
 
     Returns the delta group's metrics row, or None when nothing changed."""
+    from myaku_spark.plans import catalog
+
     changed, tomb = detect_changes(spark, index_dir, new_pages)
     if changed.limit(1).count() == 0:
         return None
     meta = spark.read.parquet(f"{index_dir}/build_meta").collect()[0]
-    try:
+    if catalog.parquet_exists(f"{index_dir}/checkpoints"):
         prev = spark.read.parquet(f"{index_dir}/checkpoints")
         max_group = prev.agg(F.max("group")).collect()[0][0]
-    except Exception:
+    else:
         max_group = -1
     group = max(int(max_group) + 1, DELTA_GROUP_BASE)
     row = build_group(
@@ -126,8 +127,6 @@ def incremental_update(
     spark.createDataFrame([row]).withColumn(
         "completed_ts", F.current_timestamp()
     ).write.mode("append").parquet(f"{index_dir}/checkpoints")
-    from myaku_spark.plans import catalog
-
     tomb.write.mode("append").parquet(catalog.path_of(index_dir, "tombstones"))
     # Refresh corpus stats from LIVE docs (docs minus tombstones), the
     # same way compact_index does — summing checkpoint rows would keep
@@ -150,15 +149,10 @@ def incremental_update(
 def load_tombstones(spark: SparkSession, index_dir: str) -> set[int]:
     from myaku_spark.plans import catalog
 
-    try:
-        return {
-            r.doc_id
-            for r in spark.read.parquet(
-                catalog.path_of(index_dir, "tombstones")
-            ).collect()
-        }
-    except Exception:
+    path = catalog.path_of(index_dir, "tombstones")
+    if not catalog.parquet_exists(path):
         return set()
+    return {r.doc_id for r in spark.read.parquet(path).collect()}
 
 
 def _recency_days(ts_col, now_col):

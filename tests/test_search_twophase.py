@@ -42,6 +42,7 @@ def head_idx(spark, tmp_path_factory):
 def test_wand_and_fetches_bounded_bytes(spark, head_idx):
     s = IndexSearcher(spark, head_idx, mode="myaku")
     s.store.prefetch_blocks = 2
+    s.store.eager_postings = 0  # force the lazy head-term path
     hits = s.search(["head", "rare"], k=3, combine="and")
     assert [d for _, d in hits] == [500]
     total = (
@@ -72,6 +73,18 @@ def test_twophase_wand_equals_exhaustive(spark, head_idx):
         assert wand == ex
     # Exhaustive fetched everything; WAND fetched no more than that.
     assert s1.store.bytes_fetched <= s2.store.bytes_fetched
+
+
+def test_small_terms_prefetch_in_one_job(spark, head_idx):
+    # Terms under the eager-postings threshold fetch ALL their blobs in
+    # one batched job (metadata job aside) — no per-window job latency
+    # for ordinary queries.
+    s = IndexSearcher(spark, head_idx, mode="myaku")
+    s.search(["head", "rare"], k=3, combine="and")
+    assert s.store.fetch_jobs == 1
+    # Repeat query: everything cached, no new jobs.
+    s.search(["head", "rare"], k=3, combine="and")
+    assert s.store.fetch_jobs == 1
 
 
 def test_metadata_scan_excludes_blob_column(spark, head_idx):
