@@ -374,8 +374,16 @@ def q_minhash_signature(spark, sf_dir):
     return t.groupBy("doc_id").agg(*aggs)
 
 
+MH_MAX_BUCKET = 50  # degenerate-bucket cap (production twin: dedup.py)
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
-    """Near-dup dedup stage 2: LSH band-bucket join → candidate pairs."""
+    """Near-dup dedup stage 2: LSH band-bucket join → candidate pairs.
+
+    Buckets larger than MH_MAX_BUCKET are DROPPED before the self-join —
+    the same degenerate-bucket cap the production path
+    (dedup.lsh_candidate_pairs) applies, which is what keeps the
+    band-join sub-quadratic at 100 TB. The oracle replays the cap."""
     sig = q_minhash_signature(spark, sf_dir)
     bands = []
     per_band = len(MH_HASHES) // MH_BANDS
@@ -390,6 +398,12 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     allb = bands[0]
     for bdf in bands[1:]:
         allb = allb.unionByName(bdf)
+    sizes = allb.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    allb = allb.join(
+        sizes.filter(F.col("n") <= MH_MAX_BUCKET).select("band", "bucket"),
+        ["band", "bucket"],
+        "left_semi",
+    )
     left = allb.alias("l")
     right = allb.alias("r")
     pairs = (
@@ -1339,7 +1353,14 @@ FROM toks GROUP BY doc_id
     "minhash_signature": f"{_SQL_MH} SELECT * FROM sig",
     "minhash_lsh_pairs": f"""
 {_SQL_MH},
-bands AS ({_SQL_BANDS})
+bands0 AS ({_SQL_BANDS}),
+keep AS (
+  SELECT band, bucket FROM bands0
+  GROUP BY band, bucket HAVING count(*) <= {MH_MAX_BUCKET}
+),
+bands AS (
+  SELECT b.* FROM bands0 b JOIN keep USING (band, bucket)
+)
 SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
 FROM bands l JOIN bands r
   ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id

@@ -223,8 +223,13 @@ def build_group(
         F.sum(F.length("blob")).alias("bytes"),
         F.sum("n_postings").alias("postings"),
     ).collect()[0]
-    n_docs = docs.count()
-    sum_dl = doc_out.agg(F.sum("dl")).collect()[0][0] or 0
+    # One job for both doc-level stats (serial driver time matters for
+    # the scaling-efficiency floor).
+    doc_stats_row = doc_out.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).collect()[0]
+    n_docs = int(doc_stats_row.n_docs)
+    sum_dl = int(doc_stats_row.sum_dl or 0)
     docs.unpersist()
     extracted.unpersist()
     postings.unpersist()
@@ -284,17 +289,37 @@ def build_index(
     # partition (partition pruning on the parquet scan).
     from myaku_spark.plans import catalog
 
-    ext_path = f"{index_dir}/extracted"
-    if not catalog.parquet_exists(ext_path):
-        extract_and_dedupe(pages).withColumn(
-            "_group", _group_col(F.col("url"), n_groups)
-        ).write.mode("overwrite").partitionBy("_group").parquet(ext_path)
-    tagged = spark.read.parquet(ext_path)
+    if n_groups == 1:
+        # One group IS the corpus: group-local extract+dedupe inside
+        # build_group is already db-wide; skip the materialization
+        # roundtrip (it exists to make multi-group dedup corpus-wide and
+        # resumes extraction-free).
+        tagged = pages.withColumn("_group", F.lit(0).cast("int"))
+    else:
+        ext_path = f"{index_dir}/extracted"
+        if not catalog.parquet_exists(ext_path):
+            extract_and_dedupe(pages).withColumn(
+                "_group", _group_col(F.col("url"), n_groups)
+            ).write.mode("overwrite").partitionBy("_group").parquet(ext_path)
+        tagged = spark.read.parquet(ext_path)
     metrics = []
     for g in range(n_groups):
         if g in done:
             continue
         grp = tagged.filter(F.col("_group") == g).drop("_group")
+        if grp.limit(1).count() == 0:
+            # A group can be emptied by corpus-wide dedup; commit an
+            # empty checkpoint row so resumes skip it too.
+            row = {
+                "run_id": run_id, "group": g, "status": "done",
+                "docs": 0, "terms": 0, "postings": 0, "bytes": 0,
+                "sum_dl": 0, "wall_ms": 0,
+            }
+            metrics.append(row)
+            spark.createDataFrame([row]).withColumn(
+                "completed_ts", F.current_timestamp()
+            ).write.mode("append").parquet(f"{index_dir}/checkpoints")
+            continue
         row = build_group(
             spark,
             grp,

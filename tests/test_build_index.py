@@ -143,3 +143,38 @@ def test_dedup_first_writer_wins(spark, tmp_path):
     out = extract_and_dedupe(pages).collect()
     assert len(out) == 1
     assert out[0].url == "https://synth.example.jp/b"  # earliest warc_ts wins
+
+
+def test_dedup_corpus_wide_across_groups(spark, tmp_path):
+    """Identical text under urls hashing to DIFFERENT partition groups is
+    indexed once (db-wide first-writer-wins via the materialized
+    extraction stage — the reference's can_store_article checks the
+    whole db, index_build.py:116-143)."""
+    import datetime as dt
+
+    from myaku_spark.plans.build_index import _group_col, build_index
+    from myaku_spark.sources.pages import PAGES_SCHEMA, synth_page
+
+    n_groups = 4
+    p = synth_page(11)
+    # Find two urls that land in different groups.
+    urls = [f"https://synth.example.jp/dup-{i}" for i in range(32)]
+    gdf = spark.createDataFrame([(u,) for u in urls], ["url"]).select(
+        "url", _group_col(F.col("url"), n_groups).alias("g")
+    )
+    by_group = {}
+    for r in gdf.collect():
+        by_group.setdefault(r.g, r.url)
+    two = list(by_group.values())[:2]
+    assert len(two) == 2
+    rows = [
+        (two[0], dt.datetime(2026, 1, 1), p["html"], p["text"], "ja"),
+        (two[1], dt.datetime(2026, 1, 2), p["html"], p["text"], "ja"),
+    ]
+    d = str(tmp_path / "xgidx")
+    build_index(
+        spark, spark.createDataFrame(rows, PAGES_SCHEMA), d, n_groups=n_groups
+    )
+    docs = spark.read.parquet(f"{d}/docs").collect()
+    assert len(docs) == 1
+    assert docs[0].url == two[0]  # earliest warc_ts wins across groups

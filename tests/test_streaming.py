@@ -54,3 +54,59 @@ def test_stream_drains_landing_zone_into_index(spark, tmp_path):
     q2 = stream_pages_to_index(spark, landing, idx, ckpt, now=NOW)
     q2.awaitTermination(120)
     assert spark.read.parquet(f"{idx}/docs").count() == n1
+
+
+def test_stateful_sessionization_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState sessionization: a session SPANNING two
+    micro-batches continues from group state (the semantics a stateless
+    windowed agg cannot express), and the final per-session counts equal
+    the batch twin over the full event set."""
+    import datetime as dt
+
+    from myaku_spark.streaming.sessions import OUTPUT_SCHEMA, sessionize_stream
+
+    land = str(tmp_path / "ev_landing")
+    ckpt = str(tmp_path / "ev_ckpt")
+    base = dt.datetime(2026, 8, 1, 12, 0, 0)
+
+    def ev(user, eid, minutes):
+        return (user, eid, base + dt.timedelta(minutes=minutes))
+
+    # Batch 1: u1 starts a session (2 events); u2 one event.
+    b1 = [ev(1, 1, 0), ev(1, 2, 10), ev(2, 3, 0)]
+    # Batch 2: u1 continues the SAME session (gap 20m < 30m) then after
+    # a 40m gap starts session 2; u2's next event is 31m later → new
+    # session.
+    b2 = [ev(1, 4, 30), ev(1, 5, 75), ev(2, 6, 31)]
+    schema = "user_id long, event_id long, ts timestamp"
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(land)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(land)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sess_snap")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    snaps = spark.sql("SELECT * FROM sess_snap").collect()
+    # Latest (max n_events) snapshot per (user, session) = final state.
+    final = {}
+    for r in snaps:
+        k = (r.user_id, r.session_no)
+        if k not in final or r.n_events > final[k][0]:
+            final[k] = (r.n_events, r.session_start)
+    assert final[(1, 1)][0] == 3  # session spanned both micro-batches
+    assert final[(1, 2)][0] == 1
+    assert final[(2, 1)][0] == 1
+    assert final[(2, 2)][0] == 1
+    assert final[(1, 1)][1] == base  # session_start from batch 1 kept
