@@ -289,11 +289,24 @@ class IndexSearcher:
         k: int = PAGE_SIZE,
         combine: str = "and",
         exhaustive: bool = False,
+        query_type: str = "exact",
     ) -> list[tuple[float, int]]:
         """Top-k (score, doc_id) for the query terms.
 
         ``exhaustive=True`` runs the full-scan oracle instead of WAND —
-        used by tests to assert rank-identity of the two paths."""
+        used by tests to assert rank-identity of the two paths.
+
+        ``query_type`` is the reference's EXACT/DEFINITE/POSSIBLE axis
+        (datastore/__init__.py:26-68): a field-indirection where all
+        three currently select the same match group and score — the
+        reference declares DEFINITE/POSSIBLE 'not implemented; EXACT
+        used for everything', and the FLI documents store the three
+        field families as aliases (document_convert.py:204-222). The
+        parameter is validated here so the API contract matches."""
+        from myaku_spark.operators.fli_docs import QUERY_TYPE_SCORE_FIELD
+
+        if query_type not in QUERY_TYPE_SCORE_FIELD:
+            raise ValueError(f"unknown query_type: {query_type!r}")
         if isinstance(query, str):
             terms = [normalize_char_width(t) for t in query.split()]
         else:

@@ -212,14 +212,29 @@ def _fli_doc(d: ast.Dict) -> dict:
             out["positions"] = poss
         elif key == "possible_interps" and isinstance(v, ast.List):
             srcs = []
+            detailed = []
             for e in v.elts:
-                if isinstance(e, ast.Dict):
-                    for pk, pv in zip(e.keys, e.values):
-                        if _const(pk) == "interp_sources" and isinstance(
-                            pv, ast.List
-                        ):
-                            srcs.append(tuple(_const(x) for x in pv.elts))
+                if not isinstance(e, ast.Dict):
+                    continue
+                interp = {"sources": None, "pos": None, "entry_id": None}
+                for pk, pv in zip(e.keys, e.values):
+                    pkc = _const(pk)
+                    if pkc == "interp_sources" and isinstance(pv, ast.List):
+                        interp["sources"] = tuple(_const(x) for x in pv.elts)
+                    elif pkc == "jmdict_interp_entry_id":
+                        interp["entry_id"] = _const(pv)
+                    elif pkc == "mecab_interp" and isinstance(pv, ast.Dict):
+                        for mk, mv in zip(pv.keys, pv.values):
+                            if _const(mk) == "parts_of_speech" and isinstance(
+                                mv, ast.List
+                            ):
+                                interp["pos"] = "-".join(
+                                    _const(x) for x in mv.elts
+                                )
+                srcs.append(interp["sources"])
+                detailed.append(interp)
             out["interp_sources"] = srcs
+            out["interps"] = detailed
         elif key == "interp_position_map" and isinstance(v, ast.Dict):
             pmap = {}
             for mk, mv in zip(v.keys, v.values):
