@@ -997,6 +997,83 @@ def q_region_rollup(spark, sf_dir):
     )
 
 
+def q_tpch_local_supplier_volume(spark, sf_dir):
+    """Q5-shape: 6-way join revenue by nation where customer and
+    supplier share the nation (broadcast dims, one fact shuffle)."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    o = _tbl(spark, sf_dir, "orders")
+    c = _tbl(spark, sf_dir, "customer")
+    s = _tbl(spark, sf_dir, "supplier")
+    n = _tbl(spark, sf_dir, "nation")
+    r = _tbl(spark, sf_dir, "region")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return j.groupBy("r_name", "n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+    )
+
+
+def q_tpch_large_orders(spark, sf_dir):
+    """Q18-shape: orders whose total quantity exceeds a threshold,
+    hydrated with the customer (HAVING over a fact aggregate)."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    o = _tbl(spark, sf_dir, "orders")
+    c = _tbl(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "l_orderkey",
+            "c_name",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice_r"),
+            "total_qty",
+        )
+    )
+
+
+def q_tpch_top_suppliers(spark, sf_dir):
+    """Q15-shape: per-supplier revenue over a shipdate window; emit the
+    supplier(s) with max revenue per nation (window rank over an agg)."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    s = _tbl(spark, sf_dir, "supplier")
+    n = _tbl(spark, sf_dir, "nation")
+    rev = (
+        li.filter(F.col("l_shipdate") >= "1999-01-01")
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    j = rev.join(F.broadcast(s), rev.l_suppkey == s.s_suppkey).join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("revenue"), F.desc("l_suppkey")
+    )
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("n_name", F.col("s_name"), "revenue")
+    )
+
+
 QUERIES = {
     "token_positions": q_token_positions,
     "postings_build": q_postings_build,
@@ -1035,6 +1112,9 @@ QUERIES = {
     "source_stats": q_source_stats,
     "event_sessions": q_event_sessions,
     "tpch_pricing_summary": q_tpch_pricing_summary,
+    "tpch_local_supplier_volume": q_tpch_local_supplier_volume,
+    "tpch_large_orders": q_tpch_large_orders,
+    "tpch_top_suppliers": q_tpch_top_suppliers,
     "tpch_revenue_topk": q_tpch_revenue_topk,
     "region_rollup": q_region_rollup,
 }
@@ -1514,6 +1594,44 @@ h AS (SELECT doc_id, md5(text) AS h FROM combined),
 r AS (SELECT h, doc_id, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
       FROM h)
 SELECT h, doc_id AS keeper_doc_id FROM r WHERE rn = 1
+""",
+    "tpch_local_supplier_volume": """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+    "tpch_large_orders": """
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+)
+SELECT l_orderkey, c_name, o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice_r, total_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+""",
+    "tpch_top_suppliers": """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem WHERE l_shipdate >= '1999-01-01'
+  GROUP BY l_suppkey
+),
+ranked AS (
+  SELECT n_name, s_name, revenue,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY revenue DESC, l_suppkey DESC) AS rk
+  FROM rev JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+)
+SELECT n_name, s_name, revenue FROM ranked WHERE rk = 1
 """,
     "simhash_pairs": f"""
 WITH {_SQL_SH}
