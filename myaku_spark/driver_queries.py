@@ -794,6 +794,97 @@ def _interp_position_map_values() -> str:
     )
 
 
+def q_fli_rollup(spark, sf_dir):
+    """FLI-document surface in the gate: build the reference-shaped
+    found-lexical-item documents (operators/fli_docs.py) over the synth
+    corpus and roll them up per url — FLI count, position totals,
+    multi-interp count, and the max exact quality score. Oracle = VALUES
+    from the pure-Python twins (tokenizer + bucket scorer)."""
+    from myaku_spark.functions.textfns import alnum_count_udf
+    from myaku_spark.functions.tokenize import explode_ja_tokens
+    from myaku_spark.operators.fli_docs import build_fli_documents
+    from myaku_spark.plans.build_index import extract_and_dedupe
+    from myaku_spark.sources.pages import synth_pages_df
+
+    pages = synth_pages_df(spark, 60, partitions=4)
+    docs = (
+        extract_and_dedupe(pages)
+        .withColumn("doc_id", F.xxhash64("url"))
+        .withColumn("alnum", alnum_count_udf(F.col("text")))
+        .withColumn(
+            "doc_score",
+            scoring.article_quality_score_col(
+                F.col("alnum"), F.col("warc_ts"),
+                F.lit(FIXED_NOW).cast("timestamp"),
+            ),
+        )
+        .withColumn("doc_ts", F.col("warc_ts"))
+    )
+    fli = build_fli_documents(
+        explode_ja_tokens(docs, "text", "doc_id", include_analysis=True), docs
+    )
+    return fli.groupBy(F.col("article_url").alias("url")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_flis"),
+        F.sum("found_positions_exact_count").cast("long").alias("sum_positions"),
+        F.sum(
+            F.when(F.size("possible_interps") > 1, 1).otherwise(0)
+        ).cast("long").alias("n_multi_interp"),
+        F.max("quality_score_exact").cast("long").alias("max_score_exact"),
+    )
+
+
+def _fli_rollup_values() -> str:
+    import datetime as dt
+    import math
+
+    from myaku_spark.functions.textfns import alnum_count_py
+    from myaku_spark.functions.tokenize import tokenize_ja_text
+    from myaku_spark.operators.scoring import (
+        ARTICLE_FACTOR_WEIGHTS,
+        LENGTH_BUCKETS,
+        RECENCY_BUCKETS,
+        TF_BUCKETS,
+        TF_MOD_WEIGHT,
+        bucket_score,
+    )
+    from myaku_spark.sources.pages import synth_page
+
+    now = dt.datetime.fromisoformat(FIXED_NOW)
+    rows = []
+    for i in range(60):
+        p = synth_page(i)
+        days = math.floor((now - p["warc_ts"]).total_seconds() / 86400.0)
+        art_score = (
+            bucket_score(alnum_count_py(p["text"]), LENGTH_BUCKETS)
+            * ARTICLE_FACTOR_WEIGHTS["length"]
+            + bucket_score(days, RECENCY_BUCKETS)
+            * ARTICLE_FACTOR_WEIGHTS["recency"]
+        )
+        per_term: dict[str, dict] = {}
+        for t in tokenize_ja_text(p["text"]):
+            e = per_term.setdefault(t["term"], {"pos": set(), "interps": set()})
+            e["pos"].add((t["start"], t["length"]))
+            e["interps"].add(
+                (
+                    ",".join(str(s) for s in t["sources"]),
+                    t.get("entry_id") or "",
+                    t.get("pos") or "",
+                )
+            )
+        n_flis = len(per_term)
+        sum_positions = sum(len(e["pos"]) for e in per_term.values())
+        n_multi = sum(1 for e in per_term.values() if len(e["interps"]) > 1)
+        max_score = max(
+            art_score
+            + bucket_score(len(e["pos"]), TF_BUCKETS) * TF_MOD_WEIGHT
+            for e in per_term.values()
+        )
+        rows.append((p["url"], n_flis, sum_positions, n_multi, max_score))
+    return _values_sql(
+        rows, ["url", "n_flis", "sum_positions", "n_multi_interp", "max_score_exact"]
+    )
+
+
 def q_blog_rollup(spark, sf_dir):
     """J2 blog dimension end-to-end: synth pages ⋈ article→blog map ⋈
     broadcast blogs dimension → full 5-factor quality score → per-blog
@@ -1107,6 +1198,7 @@ QUERIES = {
     "extraction_parity": q_extraction_parity,
     "media_features": q_media_features,
     "interp_position_map": q_interp_position_map,
+    "fli_rollup": q_fli_rollup,
     "blog_rollup": q_blog_rollup,
     "pagination_page2": q_pagination_page2,
     "source_stats": q_source_stats,
@@ -1642,6 +1734,7 @@ FROM bands l JOIN bands r
 WHERE bit_count(xor(l.simhash, r.simhash)) <= {SH_MAX_HAMMING}
 """,
     "interp_position_map": _interp_position_map_values(),
+    "fli_rollup": _fli_rollup_values(),
     "blog_rollup": _blog_rollup_values(),
     "lang_id": _lang_id_sql(),
     "extraction_parity": _extraction_parity_values(),
