@@ -517,6 +517,25 @@ def q_embedding_topk(spark, sf_dir):
     )
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN with FULL probing (nprobe == n_centroids) — by
+    construction identical to the brute-force ranking, so the exact
+    DuckDB cosine oracle applies verbatim; the partial-probe scale path
+    (equi-join on inverted lists, never a cross join) is pytest-covered
+    (test_ivf_topk_partial_probe_recall)."""
+    from myaku_spark.operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    return ivf_topk(cand, q, k=3, n_centroids=8, nprobe=8).select(
+        "q_id", "vec_id", F.col("rank").cast("int").alias("rank"),
+        F.round("cos", 3).alias("cos_r"),
+    )
+
+
 def q_events_windowed(spark, sf_dir):
     """Streaming-analog: tumbling 1h window aggregation over events."""
     ev = _events(spark, sf_dir)
@@ -1188,6 +1207,7 @@ QUERIES = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "embedding_topk": q_embedding_topk,
+    "ivf_topk": q_ivf_topk,
     "events_windowed": q_events_windowed,
     "incremental_merge": q_incremental_merge,
     "quality_filter": q_quality_filter,
@@ -1741,3 +1761,6 @@ WHERE bit_count(xor(l.simhash, r.simhash)) <= {SH_MAX_HAMMING}
     "ja_index_postings": _ja_postings_values(),
     "media_features": _media_features_values(),
 }
+
+# Full-probe IVF is rank-identical to brute force → same exact oracle.
+ORACLE["ivf_topk"] = ORACLE["embedding_topk"]

@@ -145,3 +145,77 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def ivf_index(
+    candidates: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: deterministic centroid sample (the
+    n_centroids candidates with smallest xxhash64(id) — no RNG state,
+    reproducible across runs) and the inverted-list assignment of every
+    candidate to its nearest centroid.
+
+    The assignment is one broadcast join against the tiny centroid set +
+    a per-vector argmax window; at 100 TB it is a single map-side pass
+    over the embedding table. (A k-means refinement would iterate the
+    same plan; the sampled quantizer keeps the gate deterministic.)"""
+    cents = (
+        candidates.withColumn("_h", F.xxhash64(F.col(id_col).cast("string")))
+        .orderBy("_h")
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid")
+        )
+    )
+    joined = candidates.crossJoin(F.broadcast(cents))
+    cos = _dot(vec_col, "centroid") / (_norm(vec_col) * _norm("centroid"))
+    w = Window.partitionBy(id_col).orderBy(F.desc(cos), F.desc("centroid_id"))
+    assigned = (
+        joined.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, vec_col, F.col("centroid_id").alias("list_id"))
+    )
+    return assigned, cents
+
+
+def ivf_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_emb",
+) -> DataFrame:
+    """IVF approximate top-k: probe the nprobe nearest inverted lists
+    per query, exact cosine within probed lists only.
+
+    The candidate join is an EQUI-join on list_id (shuffle keyed by
+    inverted list), never a cross join — the IVF scale shape. With
+    nprobe == n_centroids this degenerates to exact brute force (used by
+    the recall test as the identity check)."""
+    assigned, cents = ivf_index(candidates, n_centroids, id_col, vec_col)
+    qj = queries.crossJoin(F.broadcast(cents))
+    qcos = _dot(q_vec_col, "centroid") / (_norm(q_vec_col) * _norm("centroid"))
+    wq = Window.partitionBy(q_id_col).orderBy(F.desc(qcos), F.desc("centroid_id"))
+    probes = (
+        qj.withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= nprobe)
+        .select(q_id_col, q_vec_col, F.col("centroid_id").alias("list_id"))
+    )
+    pairs = assigned.join(probes, "list_id")
+    cos = _dot(vec_col, q_vec_col) / (_norm(vec_col) * _norm(q_vec_col))
+    scored = pairs.select(
+        F.col(q_id_col).alias("q_id"),
+        F.col(id_col).alias("vec_id"),
+        cos.alias("cos"),
+    ).distinct()
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.desc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -185,3 +185,43 @@ def test_multimodal_unknown_kind_raises(spark):
 
     with pytest.raises(NotImplementedError):
         _fake_decode(b"xx", "hologram")
+
+
+def test_ivf_topk_exact_when_probing_all_lists(spark, sf_dir):
+    """IVF with nprobe == n_centroids degenerates to exact brute force —
+    rank-identical to cosine_topk."""
+    from myaku_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = emb.filter(F.col("vec_id") >= 3)
+    exact = {
+        (r.q_id, r.rank): r.vec_id for r in cosine_topk(cand, q, k=5).collect()
+    }
+    ivf = {
+        (r.q_id, r.rank): r.vec_id
+        for r in ivf_topk(cand, q, k=5, n_centroids=8, nprobe=8).collect()
+    }
+    assert ivf == exact
+
+
+def test_ivf_topk_partial_probe_recall(spark, sf_dir):
+    """nprobe < n_centroids: every result is a true candidate (subset of
+    the probed lists' exact ranking) and self-matches are found when the
+    query vector is in the index (its list is always probed first)."""
+    from myaku_spark.operators.similarity import ivf_index, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = emb.select("vec_id", "embedding")  # queries included
+    res = ivf_topk(cand, q, k=1, n_centroids=8, nprobe=2).collect()
+    hits = sum(1 for r in res if r.vec_id == r.q_id and r.rank == 1)
+    assert hits == 5  # identical vector → same nearest list → probed
+    # Inverted lists partition the candidate set.
+    assigned, cents = ivf_index(cand, n_centroids=8)
+    assert assigned.count() == cand.count()
+    assert assigned.select("list_id").distinct().count() <= 8
