@@ -123,6 +123,51 @@ def frame_sample_plan(
     ).withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def _fake_resize(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic stand-in for an image resize kernel (PIL not
+    available): truncate/tile the byte stream to w*h bytes so output
+    size is exactly the resized raster's. Replace alongside
+    set_decoder() in production."""
+    target = w * h
+    reps = (target // max(len(payload), 1)) + 1
+    return (payload * reps)[:target]
+
+
+def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """mapInPandas image-resize pass (stub kernel, real plumbing): only
+    image rows are decoded; payload bytes stay executor-side and the
+    output is again a typed binary column downstream stages can chain
+    (resize → extract_features is the standard preprocessing pipeline)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                    "payload": [
+                        _fake_resize(bytes(p), width, height)
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        run, RESIZED_SCHEMA
+    )
+
+
 def synth_media_df(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests."""
     import hashlib

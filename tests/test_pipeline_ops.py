@@ -225,3 +225,24 @@ def test_ivf_topk_partial_probe_recall(spark, sf_dir):
     assigned, cents = ivf_index(cand, n_centroids=8)
     assert assigned.count() == cand.count()
     assert assigned.select("list_id").distinct().count() <= 8
+
+
+def test_resize_images_stub(spark):
+    """Resize plumbing: image rows only, exact output raster size,
+    binary column chains into the feature extractor."""
+    from myaku_spark.operators.multimodal import (
+        extract_features,
+        resize_images,
+        synth_media_df,
+    )
+
+    media = synth_media_df(spark, 12)
+    resized = resize_images(media, width=16, height=8)
+    rows = resized.collect()
+    assert rows and all(len(bytes(r.payload)) == 16 * 8 for r in rows)
+    assert len(rows) == sum(1 for r in media.collect() if r.kind == "image")
+    # Chain: resized binary → feature extraction (same Arrow plumbing).
+    chained = extract_features(
+        resized.withColumn("kind", F.lit("image"))
+    ).collect()
+    assert all(len(r.feature) == 64 for r in chained)
