@@ -2,14 +2,19 @@
 
 The reference uses MongoDB ObjectIds (insertion order) as the rank-key
 tie-break (/root/reference/myaku/datatypes.py:134-148). Our engine
-defines doc_id as a dense long assigned in (warc_ts, url) order, making
-(score DESC, doc_id DESC) a total order consistent with the reference's
-(score DESC, last_updated DESC, id DESC) contract.
+defines doc_id as the dense GLOBAL RANK under (warc_ts, url) order, so
+(score DESC, doc_id DESC) is a total order consistent with the
+reference's (score DESC, last_updated DESC, id DESC) contract — the
+golden rank-identity tests rely on this exactly.
 
-Scalability: no global window. Rows are hashed into B buckets; per-bucket
-counts (B rows) come to the driver to compute cumulative offsets; each
-bucket assigns row_number within itself. Two shuffles, each keyed on the
-bucket — works identically at 10^12 rows with B sized to the cluster.
+Scalability: no global window. ``repartitionByRange`` samples split
+points and range-partitions the rows (one shuffle); partition ids are
+ordered by range, so per-partition counts (≤ n_buckets rows to the
+driver) give exact cumulative offsets, and a within-partition
+row_number completes the global rank. The assigned ids equal the global
+(warc_ts, url) rank regardless of where the sampled boundaries fall
+(sort keys are unique — url is unique), so ids are deterministic even
+though boundary sampling is not.
 """
 
 from __future__ import annotations
@@ -24,22 +29,20 @@ def assign_doc_ids(
     n_buckets: int = 256,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Dense 0-based ids ordered by order_cols (default [warc_ts, url]).
-
-    Bucketing is on the FIRST order column's range via ntile-free hashing
-    of the sort key prefix: we use pmod(xxhash64(url), B) only for
-    distribution and make ids dense-but-not-globally-sorted; global
-    order is preserved *within* the sort columns by ordering buckets by
-    (bucket) then rows by order_cols. Ids are therefore dense, unique,
-    deterministic; cross-bucket order follows the bucket index. For a
-    globally sort-ordered id, range-partition first (df.repartitionByRange).
-    """
+    """Dense 0-based ids equal to the global rank under order_cols
+    (default [warc_ts, url]). Two shuffles (range exchange + the
+    window's hash exchange on the partition id); works identically at
+    10^12 rows with n_buckets sized to the cluster."""
     order_cols = order_cols or ["warc_ts", "url"]
-    bucket = F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(n_buckets))
-    b = df.withColumn("_bucket", bucket)
+    order = [F.col(c) for c in order_cols]
+    rp = df.repartitionByRange(n_buckets, *order).withColumn(
+        "_bucket", F.spark_partition_id()
+    )
     counts = {
         r._bucket: r.cnt
-        for r in b.groupBy("_bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        for r in rp.groupBy("_bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
     }
     offsets = {}
     acc = 0
@@ -47,13 +50,16 @@ def assign_doc_ids(
         offsets[k] = acc
         acc += counts[k]
     offs_df = F.broadcast(
-        b.sparkSession.createDataFrame(
-            [(int(k), int(v)) for k, v in offsets.items()], ["_bucket", "_off"]
+        df.sparkSession.createDataFrame(
+            [(int(k), int(v)) for k, v in offsets.items()],
+            "_bucket int, _off long",
         )
     )
-    w = Window.partitionBy("_bucket").orderBy(*[F.col(c) for c in order_cols])
+    w = Window.partitionBy("_bucket").orderBy(*order)
     return (
-        b.join(offs_df, "_bucket")
-        .withColumn(id_col, (F.row_number().over(w) - 1 + F.col("_off")).cast("long"))
+        rp.join(offs_df, "_bucket")
+        .withColumn(
+            id_col, (F.row_number().over(w) - 1 + F.col("_off")).cast("long")
+        )
         .drop("_bucket", "_off")
     )

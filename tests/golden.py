@@ -393,3 +393,17 @@ def golden_pages(stage: str = "both") -> list[dict]:
             }
         )
     return pages
+
+
+@lru_cache(maxsize=1)
+def golden_fli_score_docs() -> dict[str, list[dict]]:
+    """term → raw golden FLI docs (with quality scores and article
+    last_updated ISO strings) — the rank-identity oracle."""
+    tree = ast.parse(open(REF_TEST, encoding="utf-8").read())
+    out: dict[str, list[dict]] = {}
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Dict):
+            d = _dict_to_doc(node)
+            if "quality_score_exact" in d and "article_oid" in d:
+                out.setdefault(d["base_form"], []).append(d)
+    return out

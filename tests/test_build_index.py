@@ -178,3 +178,31 @@ def test_dedup_corpus_wide_across_groups(spark, tmp_path):
     docs = spark.read.parquet(f"{d}/docs").collect()
     assert len(docs) == 1
     assert docs[0].url == two[0]  # earliest warc_ts wins across groups
+
+
+def test_assign_doc_ids_global_rank(spark):
+    """Ids are the exact dense GLOBAL rank under (warc_ts, url) — the
+    rank-key tie-break contract (reference: last_updated DESC, id DESC)
+    — and deterministic across evaluations."""
+    import datetime as dt
+
+    from myaku_spark.operators.ids import assign_doc_ids
+
+    rows = [
+        (f"https://x.jp/{(i * 37) % 1000:04d}", dt.datetime(2026, 1, 1)
+         + dt.timedelta(minutes=(i * 13) % 500))
+        for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp").persist()
+    df.count()
+    out = assign_doc_ids(df, ["warc_ts", "url"], n_buckets=16)
+    got = [(r.warc_ts, r.url, r.doc_id) for r in out.collect()]
+    expect_order = sorted((w, u) for u, w in rows)
+    by_id = sorted(got, key=lambda t: t[2])
+    assert [t[2] for t in by_id] == list(range(1000))  # dense 0..n-1
+    assert [(t[0], t[1]) for t in by_id] == expect_order  # global rank
+    # Deterministic: a second evaluation assigns identical ids.
+    again = {(r.warc_ts, r.url): r.doc_id for r in
+             assign_doc_ids(df, ["warc_ts", "url"], n_buckets=16).collect()}
+    assert all(again[(w, u)] == i for w, u, i in got)
+    df.unpersist()
