@@ -96,6 +96,8 @@ def incremental_update(
     new_pages: DataFrame,
     now: str,
     lexicon: set | None = None,
+    blogs: DataFrame | None = None,
+    blog_map: DataFrame | None = None,
 ) -> dict | None:
     """Index only changed/new pages; tombstone superseded docs.
 
@@ -122,6 +124,8 @@ def incremental_update(
         lexicon=lexicon,
         id_offset=group * (1 << 40),
         mode=meta.mode,
+        blogs=blogs,
+        blog_map=blog_map,
     )
     row["status"] = "incremental"
     spark.createDataFrame([row]).withColumn(
