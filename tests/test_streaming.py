@@ -110,3 +110,60 @@ def test_stateful_sessionization_across_microbatches(spark, tmp_path):
     assert final[(2, 1)][0] == 1
     assert final[(2, 2)][0] == 1
     assert final[(1, 1)][1] == base  # session_start from batch 1 kept
+
+
+def test_watermarked_window_drops_late_data(spark, tmp_path):
+    """Watermarked tumbling windows: an event arriving LATER than the
+    watermark bound is dropped instead of reopening its (finalized)
+    window — append mode emits each closed window exactly once."""
+    import datetime as dt
+
+    from myaku_spark.streaming.windows import windowed_event_counts
+
+    land = str(tmp_path / "wm_landing")
+    ckpt = str(tmp_path / "wm_ckpt")
+    base = dt.datetime(2026, 8, 1, 12, 0, 0)
+    schema = "user_id long, event_id long, ts timestamp"
+
+    def ev(eid, minutes):
+        return (1, eid, base + dt.timedelta(minutes=minutes))
+
+    # Batch 1: two events in window [12:00,12:10), one in [12:10,12:20).
+    # Watermark after batch 1 = 12:18 - 5m = 12:13 — PAST the end of the
+    # first window, so it is finalized.
+    b1 = [ev(1, 0), ev(2, 3), ev(3, 18)]
+    # Batch 2: a LATE event at 12:01 whose window end (12:10) is below
+    # the watermark → dropped; an on-time event at 12:25 advances the
+    # watermark to 12:20, closing the second window too.
+    b2 = [ev(4, 1), ev(5, 25)]
+    out = str(tmp_path / "wm_out")
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(land)
+        q = (
+            windowed_event_counts(
+                stream, window="10 minutes", watermark="5 minutes"
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+
+    # Two separate drains guarantee the watermark from batch 1 is
+    # committed before the late data arrives.
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(land)
+    drain()
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(land)
+    drain()
+    rows = {r.win_start: r.n_events
+            for r in spark.read.parquet(out).collect()}
+    # Window 12:00 closed with 2 events — the late event at 12:01 was
+    # DROPPED (3 would mean late data reopened the window).
+    assert rows.get(base) == 2
+    assert rows.get(base + dt.timedelta(minutes=10)) == 1
+    # The 12:20 window is still open (watermark == its end) → not emitted.
+    assert (base + dt.timedelta(minutes=20)) not in rows
