@@ -363,6 +363,15 @@ def _jmdict_meta_items(toks: list[dict], jm: JMdictSubset) -> list[dict]:
     the FULL item list including symbols (the reference probes before
     its symbol filter), so spans never bridge a dropped symbol.
 
+    LIST adjacency, not positional adjacency, is deliberate parity: the
+    reference probes ``base_lexical_items[start:end + 1]`` with no
+    position check (japanese_analysis.py:268-278), and MeCab emits no
+    token for whitespace — so a span CAN bridge a whitespace gap there
+    too, with the meta item's length measured as the sum of surface
+    lens (japanese_analysis.py:355-360). Reproducing that, including
+    the length-vs-extent mismatch across a gap, keeps postings
+    byte-identical to the reference.
+
     Fast path: a span starting at token t can only hit JMdict if
     t.surface/t.base prefixes a text form or t.base heads a decomp key
     (prefix sets precomputed in JMdictSubset) — everything else skips

@@ -35,8 +35,19 @@ def assign_doc_ids(
     10^12 rows with n_buckets sized to the cluster."""
     order_cols = order_cols or ["warc_ts", "url"]
     order = [F.col(c) for c in order_cols]
-    rp = df.repartitionByRange(n_buckets, *order).withColumn(
-        "_bucket", F.spark_partition_id()
+    # MATERIALIZE the range exchange before deriving anything from it:
+    # the per-bucket counts job and the final id job below must see the
+    # SAME partition boundaries, but repartitionByRange samples split
+    # points per execution — a cache-evicted persist or nondeterministic
+    # upstream could re-sample differently between the two jobs and
+    # silently mint duplicate/non-dense ids. localCheckpoint truncates
+    # lineage, so recomputation is impossible: a lost block fails the
+    # job loudly instead (on a multi-executor cluster use a reliable
+    # checkpoint dir or a temp-table write for the same guarantee).
+    rp = (
+        df.repartitionByRange(n_buckets, *order)
+        .localCheckpoint(eager=True)
+        .withColumn("_bucket", F.spark_partition_id())
     )
     counts = {
         r._bucket: r.cnt

@@ -21,6 +21,7 @@ from __future__ import annotations
 import time as _time
 from collections import OrderedDict
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -199,21 +200,35 @@ class UserPageCache:
     all match — the reference's _query_match contract."""
 
     TTL_SECONDS = 60 * 60 * 24 * 7  # _KEY_EXPIRE_SECONDS, cache.py:327
+    MAX_SLOTS = 16384  # LRU cap — the reference leans on Redis maxmemory
 
-    def __init__(self, clock=_time.time):
+    def __init__(self, clock=_time.time, max_slots: int | None = None):
         self._clock = clock
-        self._slots: dict[tuple, tuple] = {}  # (user, dir) → (expiry, query_key, results)
+        self._max_slots = max_slots or self.MAX_SLOTS
+        # (user, dir) → (expiry, query_key, results); ordered for LRU.
+        self._slots: OrderedDict[tuple, tuple] = OrderedDict()
 
     @staticmethod
     def _query_key(terms, combine: str, page_num: int) -> tuple:
         return (tuple(terms), combine, page_num)
 
     def set(self, user_id: str, direction: int, terms, combine, page_num, results):
-        self._slots[(user_id, direction)] = (
+        key = (user_id, direction)
+        self._slots[key] = (
             self._clock() + self.TTL_SECONDS,
             self._query_key(terms, combine, page_num),
             list(results),
         )
+        self._slots.move_to_end(key)
+        # Bounded memory: when over cap, drop expired slots first, then
+        # LRU overflow — a long-running driver never accumulates one slot
+        # per user forever (the reference relies on Redis key expiry).
+        if len(self._slots) > self._max_slots:
+            now = self._clock()
+            for k in [k for k, v in self._slots.items() if v[0] < now]:
+                del self._slots[k]
+            while len(self._slots) > self._max_slots:
+                self._slots.popitem(last=False)
 
     def get(self, user_id: str, terms, combine, page_num):
         qk = self._query_key(terms, combine, page_num)
@@ -237,28 +252,36 @@ class IndexSearcher:
         self.spark = spark
         self.index_dir = index_dir
         self.mode = mode
+        # Resolve a consistent catalog snapshot ONCE (one read) at
+        # construction: every component path — docs, segments,
+        # tombstones, term_stats, corpus_stats — derives from that single
+        # entry, so a compaction publishing mid-construction or mid-query
+        # can never mix versions for this searcher (old dirs stay until
+        # GC).
+        from myaku_spark.plans import catalog
         from myaku_spark.plans.incremental import load_tombstones
 
-        self.deleted = load_tombstones(spark, index_dir)
-        # Resolve a consistent catalog snapshot ONCE at construction:
-        # a compaction publishing mid-query never mixes versions for
-        # this searcher (old dirs stay until GC).
-        from myaku_spark.plans import catalog
-
-        self._docs_path = catalog.path_of(index_dir, "docs")
-        self.store = SegmentBlobStore(
-            spark, catalog.path_of(index_dir, "segments")
+        self._catalog, self._paths = catalog.resolve(index_dir)
+        deleted = load_tombstones(spark, index_dir, path=self._paths["tombstones"])
+        # Sorted array, not a set: block decode applies tombstones with
+        # one vectorized np.isin instead of a per-posting Python loop.
+        self.deleted = (
+            np.sort(np.fromiter(deleted, dtype=np.int64, count=len(deleted)))
+            if deleted
+            else None
         )
+        self._docs_path = self._paths["docs"]
+        self.store = SegmentBlobStore(spark, self._paths["segments"])
         self.page_cache = UserPageCache()
         if mode == "bm25":
-            r = spark.read.parquet(f"{index_dir}/corpus_stats").collect()[0]
+            r = spark.read.parquet(self._paths["corpus_stats"]).collect()[0]
             self.n_docs, self.avgdl = int(r.n_docs), float(r.avgdl)
 
     def _scorer_factory(self, terms: list[str]):
         if self.mode == "myaku":
             return lambda term: MyakuScorer()
         tstats = (
-            self.spark.read.parquet(f"{self.index_dir}/term_stats")
+            self.spark.read.parquet(self._paths["term_stats"])
             .filter(F.col("term").isin(terms))
             .groupBy("term")
             .agg(F.sum("df").alias("df"))
@@ -280,7 +303,7 @@ class IndexSearcher:
             rows,
             self._scorer_factory(terms),
             self.store.blob,
-            deleted=self.deleted or None,
+            deleted=self.deleted,
         )
 
     def search(

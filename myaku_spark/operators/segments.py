@@ -58,6 +58,7 @@ SEGMENT_SCHEMA = StructType(
         StructField("max_tf", IntegerType()),
         StructField("min_dl", LongType()),
         StructField("max_score", LongType()),
+        StructField("sum_tf", LongType()),
         StructField("blob", BinaryType()),
     ]
 )
@@ -87,6 +88,7 @@ def _encode_rows(batches):
             ("max_tf", pa.int32()),
             ("min_dl", pa.int64()),
             ("max_score", pa.int64()),
+            ("sum_tf", pa.int64()),
             ("blob", pa.binary()),
         ]
     )
@@ -122,8 +124,8 @@ def _encode_rows(batches):
             ps_io = np.asarray(ps_outer.values.offsets)
             ps_flat = np.asarray(ps_outer.values.values)
             pl_flat = np.asarray(pl_outer.values.values)
-        blobs, n_post, min_doc, max_doc, max_tf, max_score = (
-            [], [], [], [], [], []
+        blobs, n_post, min_doc, max_doc, max_tf, max_score, sum_tf = (
+            [], [], [], [], [], [], []
         )
         for i in range(n):
             doc_ids = d_vals[d_off[i] : d_off[i + 1]].astype(np.uint64)
@@ -144,6 +146,7 @@ def _encode_rows(batches):
             max_doc.append(int(doc_ids[-1]))
             max_tf.append(int(tfs.max()))
             max_score.append(int(payload.max()))
+            sum_tf.append(int(tfs.sum()))
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array(buckets.astype(np.int32)),
@@ -155,6 +158,7 @@ def _encode_rows(batches):
                 pa.array(np.asarray(max_tf, dtype=np.int32)),
                 pa.array(min_dls.astype(np.int64)),
                 pa.array(np.asarray(max_score, dtype=np.int64)),
+                pa.array(np.asarray(sum_tf, dtype=np.int64)),
                 pa.array(blobs, type=pa.binary()),
             ],
             schema=out_schema,
@@ -327,6 +331,7 @@ def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
                 "max_tf": int(tfs.max()),
                 "min_dl": int(pdf["min_dl"].min()),
                 "max_score": int(scores.max()) if len(scores) else 0,
+                "sum_tf": int(tfs.sum()),
                 "blob": blob,
             }
         ]

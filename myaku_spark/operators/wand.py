@@ -67,13 +67,26 @@ class BM25Scorer:
 # --- term cursor over lazily-decoded blocks ----------------------------------
 
 
+def _deleted_array(deleted) -> np.ndarray | None:
+    """Normalize a tombstone collection to a SORTED int64 array (or None)
+    so block decode filters with one vectorized np.isin — never a
+    per-posting Python membership loop."""
+    if deleted is None:
+        return None
+    if isinstance(deleted, np.ndarray):
+        return deleted if deleted.size else None
+    if not deleted:
+        return None
+    return np.sort(np.fromiter(deleted, dtype=np.int64, count=len(deleted)))
+
+
 @dataclass
 class _Block:
     min_doc: int
     max_doc: int
     meta: dict
     blob: bytes | None
-    deleted: object = None  # optional set of tombstoned doc_ids
+    deleted: np.ndarray | None = None  # SORTED tombstoned doc_ids
     fetch: object = None  # lazy blob loader (two-phase segment access)
     doc_ids: np.ndarray | None = None
     tfs: np.ndarray | None = None
@@ -90,11 +103,19 @@ class _Block:
             doc_ids = dec["doc_ids"].astype(np.int64)
             tfs = dec["tfs"]
             payload = dec.get("scores", np.zeros_like(dec["tfs"]))
-            if self.deleted:
-                keep = np.array(
-                    [int(d) not in self.deleted for d in doc_ids], dtype=bool
+            d = self.deleted
+            if d is not None and d.size:
+                # Range probe first: most blocks contain no tombstoned
+                # doc at all and skip the isin entirely.
+                lo = np.searchsorted(d, doc_ids[0] if doc_ids.size else 0)
+                hi = np.searchsorted(
+                    d, doc_ids[-1] if doc_ids.size else 0, side="right"
                 )
-                doc_ids, tfs, payload = doc_ids[keep], tfs[keep], payload[keep]
+                if lo < hi:
+                    keep = ~np.isin(doc_ids, d[lo:hi], assume_unique=True)
+                    doc_ids, tfs, payload = (
+                        doc_ids[keep], tfs[keep], payload[keep],
+                    )
             self.doc_ids = doc_ids
             self.tfs = tfs
             self.payload = payload
@@ -179,6 +200,7 @@ def cursors_from_segments(
     ``deleted`` doc_ids (tombstones from incremental re-index) are
     filtered out at block-decode time; block-max metadata remains a
     sound upper bound."""
+    deleted = _deleted_array(deleted)
     by_term: dict[str, list[_Block]] = {}
     for r in rows:
         d = r.asDict() if hasattr(r, "asDict") else dict(r)
@@ -209,6 +231,7 @@ def cursors_from_blockmeta(
     time WAND decodes the block, so skipped blocks never reach the
     driver. Block-max skipping (term_upper/block_upper/max_doc) works on
     metadata alone — no decode, no fetch."""
+    deleted = _deleted_array(deleted)
     by_term: dict[str, list[_Block]] = {}
     for r in rows:
         d = r.asDict() if hasattr(r, "asDict") else dict(r)

@@ -112,13 +112,23 @@ def build_group(
     blog_map: DataFrame | None = None,
     head_df_threshold: int | None = None,
     block_doc_range: int | None = None,
+    paths: dict | None = None,
 ) -> dict:
     """Build one partition group end-to-end; returns its metrics row.
 
     mode='myaku' stores the integer quality score as the posting payload
     (rank key (score, doc_ts→doc_id, doc_id)); mode='bm25' stores dl so
-    query-time BM25 can be computed posting-locally."""
+    query-time BM25 can be computed posting-locally.
+
+    ``paths`` are the catalog-resolved component base dirs (one resolve
+    per caller); outputs land under ``{paths[comp]}/group=G`` so a delta
+    group written AFTER a compaction joins the catalog's live versioned
+    dirs instead of the superseded v0 layout (which nothing reads)."""
     t0 = time.time()
+    if paths is None:
+        from myaku_spark.plans import catalog
+
+        _, paths = catalog.resolve(index_dir)
     # Persist the extraction output BEFORE id assignment: assign_doc_ids
     # runs a bucket-count action, which would otherwise re-run the
     # extract UDF + dedup shuffle a second time. When build_index has
@@ -182,7 +192,7 @@ def build_group(
         head_df_threshold=head_df_threshold or HEAD_DF_THRESHOLD,
         block_doc_range=block_doc_range or BLOCK_DOC_RANGE,
     )
-    write_segments(segments, f"{index_dir}/segments/group={group}")
+    write_segments(segments, f"{paths['segments']}/group={group}")
 
     doc_out = docs.join(dstats, "doc_id", "left").select(
         "doc_id",
@@ -193,7 +203,7 @@ def build_group(
         F.col("doc_score").cast("long").alias("doc_score"),
         F.col("warc_ts").alias("doc_ts"),
     )
-    doc_out.write.mode("overwrite").parquet(f"{index_dir}/docs/group={group}")
+    doc_out.write.mode("overwrite").parquet(f"{paths['docs']}/group={group}")
 
     if with_analysis:
         # Interp-analysis sidecar (§1.3 posting fields the reference keeps
@@ -215,10 +225,10 @@ def build_group(
         F.sum("tf").cast("long").alias("cf"),
     )
     tstats.write.mode("overwrite").parquet(
-        f"{index_dir}/term_stats/group={group}"
+        f"{paths['term_stats']}/group={group}"
     )
 
-    seg_stats = spark.read.parquet(f"{index_dir}/segments/group={group}").agg(
+    seg_stats = spark.read.parquet(f"{paths['segments']}/group={group}").agg(
         F.countDistinct("term").alias("terms"),
         F.sum(F.length("blob")).alias("bytes"),
         F.sum("n_postings").alias("postings"),
@@ -289,6 +299,7 @@ def build_index(
     # partition (partition pruning on the parquet scan).
     from myaku_spark.plans import catalog
 
+    _, paths = catalog.resolve(index_dir)
     if n_groups == 1:
         # One group IS the corpus: group-local extract+dedupe inside
         # build_group is already db-wide; skip the materialization
@@ -335,6 +346,7 @@ def build_index(
             blog_map=blog_map,
             head_df_threshold=head_df_threshold,
             block_doc_range=block_doc_range,
+            paths=paths,
         )
         metrics.append(row)
         spark.createDataFrame([row]).withColumn(
@@ -345,10 +357,14 @@ def build_index(
     cp.groupBy().agg(
         F.sum("docs").alias("n_docs"),
         (F.sum("sum_dl") / F.sum("docs")).alias("avgdl"),
-    ).write.mode("overwrite").parquet(f"{index_dir}/corpus_stats")
+    ).write.mode("overwrite").parquet(paths["corpus_stats"])
     return metrics
 
 
 def read_corpus_stats(spark: SparkSession, index_dir: str):
-    r = spark.read.parquet(f"{index_dir}/corpus_stats").collect()[0]
+    from myaku_spark.plans import catalog
+
+    r = spark.read.parquet(
+        catalog.path_of(index_dir, "corpus_stats")
+    ).collect()[0]
     return int(r.n_docs), float(r.avgdl)

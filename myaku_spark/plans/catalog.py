@@ -26,17 +26,36 @@ _V0 = {
     "segments": "segments",
     "docs": "docs",
     "tombstones": "tombstones",
+    "term_stats": "term_stats",
+    "corpus_stats": "corpus_stats",
 }
+
+COMPONENTS = ("segments", "docs", "tombstones", "term_stats", "corpus_stats")
 
 
 def current(index_dir: str) -> dict:
     """The live catalog entry; defaults to the v0 legacy layout so
-    indexes built before any compaction resolve unchanged."""
+    indexes built before any compaction resolve unchanged. Components
+    missing from an older persisted entry default to their v0 names."""
     p = os.path.join(index_dir, CATALOG_FILE)
     if os.path.exists(p):
         with open(p, encoding="utf-8") as f:
-            return json.load(f)
+            entry = json.load(f)
+        for k, v in _V0.items():
+            entry.setdefault(k, v)
+        return entry
     return dict(_V0)
+
+
+def resolve(index_dir: str) -> tuple[dict, dict]:
+    """ONE catalog read → (entry, absolute component paths).
+
+    Every reader/writer that touches more than one component must go
+    through this so a compaction publishing between reads can never mix
+    versions (e.g. v0 tombstones with v1 docs)."""
+    entry = current(index_dir)
+    paths = {c: os.path.join(index_dir, entry[c]) for c in COMPONENTS}
+    return entry, paths
 
 
 def path_of(index_dir: str, component: str) -> str:
@@ -60,6 +79,26 @@ def parquet_exists(path: str) -> bool:
     return os.path.isdir(path) and bool(os.listdir(path))
 
 
+def gc_names(index_dir: str, keep_names: set[str]) -> list[str]:
+    """Delete versioned component dirs whose NAME is not referenced by
+    any entry the caller wants live (current + previous). Name-based,
+    not version-number-based: an entry may reuse an older version's
+    component (e.g. a rescore carries tombstones_v1 forward into v2),
+    which number-based GC would wrongly delete."""
+    import re
+    import shutil
+
+    removed = []
+    pat = re.compile(
+        r"^(segments|docs|tombstones|term_stats|corpus_stats)_v(\d+)$"
+    )
+    for name in os.listdir(index_dir):
+        if pat.match(name) and name not in keep_names:
+            shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
+            removed.append(name)
+    return removed
+
+
 def gc_versions(index_dir: str, keep_versions: set[int]) -> list[str]:
     """Delete versioned dirs whose version is not in keep_versions
     (callers keep at least {current, previous} for in-flight readers)."""
@@ -67,7 +106,7 @@ def gc_versions(index_dir: str, keep_versions: set[int]) -> list[str]:
     import shutil
 
     removed = []
-    pat = re.compile(r"^(segments|docs|tombstones)_v(\d+)$")
+    pat = re.compile(r"^(segments|docs|tombstones|term_stats|corpus_stats)_v(\d+)$")
     for name in os.listdir(index_dir):
         m = pat.match(name)
         if m and int(m.group(2)) not in keep_versions:

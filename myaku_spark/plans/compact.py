@@ -61,6 +61,7 @@ def _merge_with_tombstones(deleted: set):
                     "max_tf": int(tfs.max()),
                     "min_dl": int(pdf["min_dl"].min()),
                     "max_score": int(scores.max()),
+                    "sum_tf": int(tfs.sum()),
                     "blob": blob,
                 }
             ]
@@ -81,13 +82,15 @@ def compact_index(
     version starts with an empty tombstone set (every tombstone was
     applied in the merge). Old versions older than the previous one are
     garbage-collected after publish."""
+    import os
+
     from myaku_spark.plans import catalog
     from myaku_spark.plans.incremental import load_tombstones
 
-    cat = catalog.current(index_dir)
+    cat, paths = catalog.resolve(index_dir)
     version = int(cat["version"]) + 1
-    deleted = load_tombstones(spark, index_dir)
-    segs = spark.read.parquet(f"{index_dir}/{cat['segments']}").withColumn(
+    deleted = load_tombstones(spark, index_dir, path=paths["tombstones"])
+    segs = spark.read.parquet(paths["segments"]).withColumn(
         "run_order", F.col("group").cast("int")
     )
     merged = segs.groupBy("term", "block_id").applyInPandas(
@@ -97,35 +100,56 @@ def compact_index(
     docs_rel = f"docs_v{version}"
     write_segments(merged, f"{index_dir}/{seg_rel}/group=0")
 
-    docs = spark.read.parquet(f"{index_dir}/{cat['docs']}")
+    docs = spark.read.parquet(paths["docs"])
     if deleted:
         tomb_df = spark.createDataFrame(
             [(int(d),) for d in deleted], ["doc_id"]
         )
         docs = docs.join(F.broadcast(tomb_df), "doc_id", "left_anti")
+    if "group" in docs.columns:
+        docs = docs.drop("group")
     docs.write.mode("overwrite").parquet(f"{index_dir}/{docs_rel}/group=0")
 
-    n_docs = spark.read.parquet(f"{index_dir}/{docs_rel}").count()
+    # Post-merge stats are recomputed into NEW versioned dirs before the
+    # publish, so a reader mid-compaction never sees stats inconsistent
+    # with its snapshot (it keeps resolving the previous entry).
+    # term_stats: df = postings per term (one posting = one doc),
+    # cf = sum of tfs — both exact from merged block metadata, no decode.
+    ts_rel = f"term_stats_v{version}"
+    merged_read = spark.read.parquet(f"{index_dir}/{seg_rel}")
+    merged_read.groupBy("term").agg(
+        F.sum("n_postings").cast("long").alias("df"),
+        F.sum("sum_tf").cast("long").alias("cf"),
+    ).write.mode("overwrite").parquet(f"{index_dir}/{ts_rel}/group=0")
+
+    cs_rel = f"corpus_stats_v{version}"
     stats = spark.read.parquet(f"{index_dir}/{docs_rel}").agg(
-        F.avg("dl").alias("avgdl")
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     ).collect()[0]
+    n_docs = int(stats.n_docs)
     spark.createDataFrame(
         [(n_docs, float(stats.avgdl or 0.0))], ["n_docs", "avgdl"]
-    ).write.mode("overwrite").parquet(f"{index_dir}/corpus_stats")
+    ).write.mode("overwrite").parquet(f"{index_dir}/{cs_rel}")
 
     # The atomic commit point.
-    catalog.publish(
-        index_dir,
-        {
-            "version": version,
-            "segments": seg_rel,
-            "docs": docs_rel,
-            "tombstones": f"tombstones_v{version}",
-            "previous": cat,
-        },
-    )
+    entry = {
+        "version": version,
+        "segments": seg_rel,
+        "docs": docs_rel,
+        "tombstones": f"tombstones_v{version}",
+        "term_stats": ts_rel,
+        "corpus_stats": cs_rel,
+        "previous": cat,
+    }
+    catalog.publish(index_dir, entry)
     if gc_old:
-        catalog.gc_versions(index_dir, {version, int(cat["version"])})
+        keep = {
+            e[c]
+            for e in (entry, cat)
+            for c in catalog.COMPONENTS
+            if os.sep not in e[c]
+        }
+        catalog.gc_names(index_dir, keep)
     return {
         "n_docs": n_docs,
         "tombstones_applied": len(deleted),

@@ -12,42 +12,49 @@ crawl_track.py:89-129 + datastore/index_build.py:116-143):
   searcher applies at block-decode time — the merge-on-read model
   Iceberg uses for row-level deletes.
 
-The delta is built as a fresh partition group (id = max existing + 1),
-so incremental runs compose with resumable checkpoints and the segment
-layout; a compaction pass can later merge_segments() delta groups into
-the base groups.
+The delta is built as a fresh partition group (id = max existing + 1)
+written under the CATALOG-RESOLVED component dirs — so a delta landed
+after a compaction joins the live versioned segments/docs, never the
+superseded v0 layout. Every operation resolves the catalog snapshot
+ONCE and derives all component paths from it.
 
-Rescore (A7/A8, index_rescore.py:40-53,136-180): recompute quality
-scores for docs whose recency bucket changed between two 'now' instants,
-and rebuild only the partition groups containing affected docs —
-partition-pruned rescoring instead of a full rebuild.
+Rescore (A7/A8, index_rescore.py:40-53,136-180,199-235): the reference
+never re-analyzes text on rescore — it recomputes the article score and
+$set-updates quality_score_X = article_quality_score + mod on the FLI
+docs. Only the recency factor depends on 'now', and factor scores sum
+with integer weights, so the per-doc delta is exactly
+(recency(new_now) - recency(old_now)) * recency_weight. rescore_index
+applies that delta to the docs table and to the score payload of only
+the segment blocks whose doc range contains an affected doc, then
+publishes a new catalog version — no retokenization, no id
+reassignment (hence no membership hazard), works identically before or
+after compaction.
 """
 
 from __future__ import annotations
 
 import time
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from myaku_spark.operators.scoring import RECENCY_BUCKETS
-from myaku_spark.plans.build_index import (
-    _group_col,
-    build_group,
-    extract_and_dedupe,
+from myaku_spark.operators.scoring import (
+    ARTICLE_FACTOR_WEIGHTS,
+    RECENCY_BUCKETS,
+    recency_score_col,
 )
+from myaku_spark.plans.build_index import build_group, extract_and_dedupe
 
 DELTA_GROUP_BASE = 10_000  # delta groups live above base group ids
 
 
-def _existing_docs(spark: SparkSession, index_dir: str) -> DataFrame:
-    from myaku_spark.plans import catalog
-
-    return spark.read.parquet(catalog.path_of(index_dir, "docs"))
-
-
 def detect_changes(
-    spark: SparkSession, index_dir: str, new_pages: DataFrame
+    spark: SparkSession,
+    index_dir: str,
+    new_pages: DataFrame,
+    paths: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (changed_pages, tombstones).
 
@@ -64,10 +71,13 @@ def detect_changes(
     across the whole corpus)."""
     from myaku_spark.plans import catalog
 
-    docs = _existing_docs(spark, index_dir).select("doc_id", "url", "text_hash")
-    tomb_path = catalog.path_of(index_dir, "tombstones")
-    if catalog.parquet_exists(tomb_path):
-        tombs = spark.read.parquet(tomb_path).select("doc_id")
+    if paths is None:
+        _, paths = catalog.resolve(index_dir)
+    docs = spark.read.parquet(paths["docs"]).select(
+        "doc_id", "url", "text_hash"
+    )
+    if catalog.parquet_exists(paths["tombstones"]):
+        tombs = spark.read.parquet(paths["tombstones"]).select("doc_id")
         live = docs.join(tombs, "doc_id", "left_anti")
     else:
         live = docs
@@ -98,13 +108,21 @@ def incremental_update(
     lexicon: set | None = None,
     blogs: DataFrame | None = None,
     blog_map: DataFrame | None = None,
+    auto_compact_tombstones: int | None = None,
 ) -> dict | None:
     """Index only changed/new pages; tombstone superseded docs.
+
+    ``auto_compact_tombstones``: when set, a compaction is forced once
+    the tombstone count reaches the threshold — bounding both the
+    driver-side delete-vector size and the dead postings the decode
+    path must filter (compaction pressure, the merge-on-read →
+    rewrite crossover every delete-vector design needs).
 
     Returns the delta group's metrics row, or None when nothing changed."""
     from myaku_spark.plans import catalog
 
-    changed, tomb = detect_changes(spark, index_dir, new_pages)
+    _, paths = catalog.resolve(index_dir)
+    changed, tomb = detect_changes(spark, index_dir, new_pages, paths=paths)
     if changed.limit(1).count() == 0:
         return None
     meta = spark.read.parquet(f"{index_dir}/build_meta").collect()[0]
@@ -126,34 +144,41 @@ def incremental_update(
         mode=meta.mode,
         blogs=blogs,
         blog_map=blog_map,
+        paths=paths,
     )
     row["status"] = "incremental"
     spark.createDataFrame([row]).withColumn(
         "completed_ts", F.current_timestamp()
     ).write.mode("append").parquet(f"{index_dir}/checkpoints")
-    tomb.write.mode("append").parquet(catalog.path_of(index_dir, "tombstones"))
+    tomb.write.mode("append").parquet(paths["tombstones"])
     # Refresh corpus stats from LIVE docs (docs minus tombstones), the
     # same way compact_index does — summing checkpoint rows would keep
     # counting superseded docs and drift n_docs/avgdl upward with every
     # re-index, skewing BM25 idf and length normalization.
-    live = _existing_docs(spark, index_dir).join(
-        spark.read.parquet(catalog.path_of(index_dir, "tombstones")).select(
-            "doc_id"
-        ),
-        "doc_id",
-        "left_anti",
+    tombs_df = spark.read.parquet(paths["tombstones"]).select("doc_id")
+    live = spark.read.parquet(paths["docs"]).join(
+        tombs_df, "doc_id", "left_anti"
     )
     live.groupBy().agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").alias("avgdl"),
-    ).write.mode("overwrite").parquet(f"{index_dir}/corpus_stats")
+    ).write.mode("overwrite").parquet(paths["corpus_stats"])
+    if auto_compact_tombstones is not None:
+        n_tomb = tombs_df.count()
+        if n_tomb >= auto_compact_tombstones:
+            from myaku_spark.plans.compact import compact_index
+
+            row["compacted"] = compact_index(spark, index_dir)
     return row
 
 
-def load_tombstones(spark: SparkSession, index_dir: str) -> set[int]:
+def load_tombstones(
+    spark: SparkSession, index_dir: str, path: str | None = None
+) -> set[int]:
     from myaku_spark.plans import catalog
 
-    path = catalog.path_of(index_dir, "tombstones")
+    if path is None:
+        path = catalog.path_of(index_dir, "tombstones")
     if not catalog.parquet_exists(path):
         return set()
     return {r.doc_id for r in spark.read.parquet(path).collect()}
@@ -188,68 +213,140 @@ def docs_needing_rescore(
     return docs.filter(old_b != new_b)
 
 
+def _score_delta_col(old_now: str, new_now: str):
+    """Exact per-doc score delta between the two instants: the recency
+    factor is the ONLY 'now'-dependent factor in the weighted sum
+    (scorer/__init__.py:27-60), and factor scores are integers summed
+    with integer weights, so the rest of the score cancels exactly —
+    including blog/video factors the docs table doesn't even store."""
+    w = ARTICLE_FACTOR_WEIGHTS["recency"]
+    return (
+        recency_score_col(F.col("doc_ts"), F.lit(new_now))
+        - recency_score_col(F.col("doc_ts"), F.lit(old_now))
+    ) * F.lit(w)
+
+
+def _rescore_blocks(ids_sorted: np.ndarray, deltas: np.ndarray):
+    """mapInPandas: add per-doc deltas to block score payloads.
+
+    Blocks whose [min_doc, max_doc] range contains no affected doc pass
+    through UNDECODED (two searchsorted probes decide) — at 10^12 docs a
+    daily rescore touches only the blocks holding that day's
+    tier-boundary crossers."""
+    from myaku_spark.operators.codec import decode_block, encode_block
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            out_rows = []
+            for _, row in pdf.iterrows():
+                lo = np.searchsorted(ids_sorted, row["min_doc"], side="left")
+                hi = np.searchsorted(ids_sorted, row["max_doc"], side="right")
+                if lo >= hi:  # no affected doc can be in this block
+                    out_rows.append(row)
+                    continue
+                dec = decode_block(bytes(row["blob"]))
+                doc_ids = dec["doc_ids"].astype(np.int64)
+                idx = np.searchsorted(ids_sorted, doc_ids)
+                idx_c = np.clip(idx, 0, len(ids_sorted) - 1)
+                hit = ids_sorted[idx_c] == doc_ids
+                if not hit.any():
+                    out_rows.append(row)
+                    continue
+                scores = dec["scores"].astype(np.int64)
+                scores[hit] += deltas[idx_c[hit]]
+                blob = encode_block(
+                    dec["doc_ids"], dec["tfs"], scores, dec.get("positions")
+                )
+                row = row.copy()
+                row["blob"] = blob
+                row["max_score"] = int(scores.max())
+                out_rows.append(row)
+            yield pd.DataFrame(out_rows)
+
+    return run
+
+
 def rescore_index(
     spark: SparkSession,
     index_dir: str,
-    pages: DataFrame,
     new_now: str,
-    lexicon: set | None = None,
-) -> list[int]:
-    """Partition-pruned rescore: rebuild only groups containing
-    boundary-crossing docs, with the new 'now'. Returns rebuilt groups."""
+    gc_old: bool = True,
+) -> dict:
+    """Score-delta recency rescore; returns {'n_affected', 'version'}.
+
+    Snapshot-atomic: new docs (and, in myaku mode, segments) versions are
+    written, then one catalog publish swaps them in. term_stats,
+    corpus_stats and tombstones are 'now'-independent and carry over
+    unchanged."""
+    from myaku_spark.plans import catalog
+
+    cat, paths = catalog.resolve(index_dir)
     meta = spark.read.parquet(f"{index_dir}/build_meta").collect()[0]
-    docs = _existing_docs(spark, index_dir)
-    affected = docs_needing_rescore(docs, meta.now, new_now)
-    n_groups = int(meta.n_groups)
-    groups = sorted(
-        r.g
-        for r in affected.select(
-            _group_col(F.col("url"), n_groups).alias("g")
-        )
-        .distinct()
+    old_now = str(meta.now)
+    docs = spark.read.parquet(paths["docs"])
+    delta = _score_delta_col(old_now, new_now)
+    affected = (
+        docs.withColumn("_delta", delta)
+        .filter(F.col("_delta") != 0)
+        .select("doc_id", "_delta")
         .collect()
     )
-    tagged = pages.withColumn("_group", _group_col(F.col("url"), n_groups))
-    # Guard ALL groups BEFORE rebuilding any: rebuilding re-runs dense id
-    # assignment, so each group's (url, text_hash) membership must be
-    # UNCHANGED since the original build — otherwise ids shift under
-    # existing tombstones and delta segments, which would mask the wrong
-    # documents. A changed group must go through incremental_update
-    # (+ compaction) first. Validating up front also keeps the docs scan
-    # consistent (rebuilds overwrite docs/group=G mid-loop).
-    for g in groups:
-        grp_pages = tagged.filter(F.col("_group") == g).drop("_group")
-        canonical = extract_and_dedupe(grp_pages).select("url", "text_hash")
-        stored = docs.filter(F.shiftright(F.col("doc_id"), 40) == g).select(
-            "url", "text_hash"
+    version = int(cat["version"]) + 1
+    entry = {
+        "version": version,
+        "segments": cat["segments"],
+        "docs": cat["docs"],
+        "tombstones": cat["tombstones"],
+        "term_stats": cat["term_stats"],
+        "corpus_stats": cat["corpus_stats"],
+        "previous": cat,
+    }
+    if affected:
+        # Docs rewrite: pure Catalyst (the delta column recomputes from
+        # doc_ts — no broadcast needed for this side).
+        docs_rel = f"docs_v{version}"
+        entry["docs"] = docs_rel
+        group_cols = [c for c in docs.columns if c == "group"]
+        new_docs = docs.withColumn(
+            "doc_score", (F.col("doc_score") + delta).cast("long")
         )
-        n_extra = canonical.join(
-            stored, ["url", "text_hash"], "left_anti"
-        ).count()
-        n_missing = stored.join(
-            canonical, ["url", "text_hash"], "left_anti"
-        ).count()
-        if n_extra or n_missing:
-            raise ValueError(
-                f"rescore_index: group {g} membership changed "
-                f"({n_extra} new, {n_missing} gone) — run "
-                "incremental_update + compact_index before rescoring"
+        writer = new_docs.write.mode("overwrite")
+        if group_cols:
+            writer = writer.partitionBy("group")
+        writer.parquet(f"{index_dir}/{docs_rel}")
+
+        if meta.mode == "myaku":
+            # Segment payload rewrite: only blocks intersecting an
+            # affected doc id are decoded (see _rescore_blocks).
+            ids = np.array(sorted(int(r.doc_id) for r in affected), dtype=np.int64)
+            dmap = {int(r.doc_id): int(r._delta) for r in affected}
+            deltas = np.array([dmap[int(i)] for i in ids], dtype=np.int64)
+            seg_rel = f"segments_v{version}"
+            entry["segments"] = seg_rel
+            segs = spark.read.parquet(paths["segments"])
+            rescored = segs.mapInPandas(
+                _rescore_blocks(ids, deltas), segs.schema
             )
-    for g in groups:
-        build_group(
-            spark,
-            tagged.filter(F.col("_group") == g).drop("_group"),
-            index_dir,
-            g,
-            run_id=f"rescore-{int(time.time())}",
-            now=new_now,
-            lexicon=lexicon,
-            id_offset=g * (1 << 40),
-            mode=meta.mode,
-        )
-    # Record the new scoring instant.
+            (
+                rescored.repartition("group", "bucket")
+                .sortWithinPartitions("term", "block_id")
+                .write.mode("overwrite")
+                .partitionBy("group", "bucket")
+                .parquet(f"{index_dir}/{seg_rel}")
+            )
+    catalog.publish(index_dir, entry)
     spark.createDataFrame(
-        [(n_groups, str(new_now), meta.mode, f"rescore-{int(time.time())}")],
+        [(int(meta.n_groups), str(new_now), meta.mode,
+          f"rescore-{int(time.time())}")],
         ["n_groups", "now", "mode", "run_id"],
     ).write.mode("overwrite").parquet(f"{index_dir}/build_meta")
-    return groups
+    if gc_old:
+        keep = set()
+        for e in (entry, cat):
+            for c in catalog.COMPONENTS:
+                keep.add(e[c])
+        catalog.gc_names(index_dir, keep)
+    return {"n_affected": len(affected), "version": version}

@@ -106,7 +106,7 @@ def test_compact_merges_and_applies_tombstones(spark, tmp_path):
     out = compact_index(spark, d)
     assert out["tombstones_applied"] == 2
     s_after = IndexSearcher(spark, d, mode="myaku")
-    assert s_after.deleted == set()  # tombstones cleared
+    assert s_after.deleted is None  # tombstones cleared
     after = s_after.search([term], k=30)
     assert after == before  # same results, now without delete vectors
     # Doc table (resolved via the catalog pointer) no longer contains

@@ -180,22 +180,60 @@ def test_search_and_missing_term_returns_empty(spark, idx):
     assert s.search([top_term, "zz未知語zz"], k=5, combine="and") == []
 
 
-def test_rescore_membership_guard(spark, tmp_path):
-    # Rescoring a group whose membership changed since the build must
-    # refuse (id reassignment would shift ids under existing tombstones).
-    d = str(tmp_path / "gidx")
-    pages = synth_pages_df(spark, 10, partitions=2)
-    build_index(spark, pages, d, n_groups=1, now="2026-01-01 12:00:00")
-    p0, pZ = synth_page(0), synth_page(9000)
-    mutated = pages.unionByName(
-        spark.createDataFrame(
-            [("https://synth.example.jp/new-url", dt.datetime(2026, 2, 1),
-              pZ["html"], pZ["text"], "ja")],
-            PAGES_SCHEMA,
-        )
+def test_incremental_after_compact_reaches_readers(spark, tmp_path):
+    # ADVICE r2 HIGH: a delta group written AFTER a compaction must land
+    # under the catalog-resolved versioned dirs — otherwise the
+    # tombstone lands in the live version while the replacement doc
+    # lands in directories nothing reads (vanishing from search and
+    # re-detected as changed forever).
+    from myaku_spark.plans import catalog
+    from myaku_spark.plans.compact import compact_index
+
+    d = str(tmp_path / "cai")
+    pages = synth_pages_df(spark, 30, partitions=2)
+    build_index(spark, pages, d, n_groups=1, now=NOW)
+    assert compact_index(spark, d)["version"] == 1
+
+    p0, pX, pN = synth_page(0), synth_page(6000), synth_page(777)
+    mod = spark.createDataFrame(
+        [
+            (p0["url"], dt.datetime(2026, 3, 1), pX["html"], pX["text"], "ja"),
+            (pN["url"], pN["warc_ts"], pN["html"], pN["text"], "ja"),
+        ],
+        PAGES_SCHEMA,
     )
-    with pytest.raises(ValueError, match="membership changed"):
-        rescore_index(spark, d, mutated, "2026-07-20 12:00:00")
+    row = incremental_update(spark, d, mod, now=NOW)
+    assert row is not None and row["docs"] == 2
+    # Idempotent: resubmitting finds nothing changed (the delta is
+    # readable, so detection does not loop forever).
+    assert incremental_update(spark, d, mod, now=NOW) is None
+    # The re-indexed url is LIVE with the new content hash.
+    tombs = load_tombstones(spark, d)
+    docs = spark.read.parquet(catalog.path_of(d, "docs"))
+    live = [
+        r
+        for r in docs.filter(F.col("url") == p0["url"]).collect()
+        if r.doc_id not in tombs
+    ]
+    assert len(live) == 1 and live[0].doc_id >= (10_000 << 40)
+    # Delta postings are searchable: a term indexed by the delta group
+    # must return delta doc ids through the searcher.
+    delta_term = (
+        spark.read.parquet(catalog.path_of(d, "term_stats"))
+        .filter(F.col("group") >= 10_000)
+        .orderBy(F.desc("df"))
+        .limit(1)
+        .collect()[0]
+        .term
+    )
+    s = IndexSearcher(spark, d, mode="myaku")
+    hits = s.search([delta_term], k=50)
+    assert any((doc >> 40) >= 10_000 for _, doc in hits)
+    # A second compaction folds the delta + tombstone cleanly.
+    out2 = compact_index(spark, d)
+    assert out2["tombstones_applied"] == 1
+    s2 = IndexSearcher(spark, d, mode="myaku")
+    assert s2.search([delta_term], k=50) == hits
 
 
 def test_docs_needing_rescore(spark):
@@ -211,24 +249,73 @@ def test_docs_needing_rescore(spark):
     assert 3 not in ids
 
 
-def test_rescore_rebuilds_affected_groups(spark, tmp_path):
-    d = str(tmp_path / "ridx")
+def test_rescore_score_delta_matches_fresh_build(spark, tmp_path):
+    # Score-delta rescore (A7: the reference $set-recomputes scores, it
+    # never re-analyzes text) must be indistinguishable from having
+    # built the whole index at the new instant: per-url doc scores AND
+    # WAND top-k (with its block-max metadata refreshed) identical.
+    from myaku_spark.plans import catalog
+
+    d1, d2 = str(tmp_path / "r1"), str(tmp_path / "r2")
     pages = synth_pages_df(spark, 40, partitions=4)
-    build_index(spark, pages, d, n_groups=2, now="2026-01-01 12:00:00")
-    docs_before = {
-        r.doc_id: r.doc_score
-        for r in spark.read.parquet(f"{d}/docs").collect()
+    build_index(spark, pages, d1, n_groups=2, now="2026-01-01 12:00:00")
+    out = rescore_index(spark, d1, "2026-07-20 12:00:00")
+    assert out["n_affected"] > 0 and out["version"] == 1
+    build_index(spark, pages, d2, n_groups=2, now="2026-07-20 12:00:00")
+
+    docs1 = {
+        r.url: r.doc_score
+        for r in spark.read.parquet(catalog.path_of(d1, "docs")).collect()
     }
-    # synth warc_ts ≈ 2026-01-01 + minutes → moving 'now' by 200 days
-    # crosses several recency tiers for all docs.
-    groups = rescore_index(spark, d, pages, "2026-07-20 12:00:00")
-    assert groups  # at least one group rebuilt
-    docs_after = {
-        r.doc_id: r.doc_score
-        for r in spark.read.parquet(f"{d}/docs").collect()
+    docs2 = {
+        r.url: r.doc_score
+        for r in spark.read.parquet(catalog.path_of(d2, "docs")).collect()
     }
-    assert set(docs_before) == set(docs_after)
-    changed = [k for k in docs_before if docs_before[k] != docs_after[k]]
-    assert changed  # recency factor moved → scores changed
-    meta = spark.read.parquet(f"{d}/build_meta").collect()[0]
+    assert docs1 == docs2
+
+    s1 = IndexSearcher(spark, d1, mode="myaku")
+    s2 = IndexSearcher(spark, d2, mode="myaku")
+    term = (
+        spark.read.parquet(catalog.path_of(d1, "term_stats"))
+        .groupBy("term").agg(F.sum("df").alias("df"))
+        .orderBy(F.desc("df")).limit(1).collect()[0].term
+    )
+    top1, top2 = s1.search([term], k=20), s2.search([term], k=20)
+    assert top1 == top2
+    # max_score block metadata was updated with the payloads — WAND
+    # pruning still agrees with the exhaustive oracle.
+    assert top1 == s1.search([term], k=20, exhaustive=True)
+    meta = spark.read.parquet(f"{d1}/build_meta").collect()[0]
     assert meta.now == "2026-07-20 12:00:00"
+
+
+def test_rescore_after_compact_and_incremental(spark, tmp_path):
+    # The score-delta rescore has no group layout assumptions: it works
+    # on a compacted index carrying a live delta group + tombstones.
+    from myaku_spark.plans import catalog
+    from myaku_spark.plans.compact import compact_index
+
+    d = str(tmp_path / "rci")
+    pages = synth_pages_df(spark, 20, partitions=2)
+    build_index(spark, pages, d, n_groups=1, now="2026-01-01 12:00:00")
+    compact_index(spark, d)
+    p0, pX = synth_page(0), synth_page(8100)
+    mod = spark.createDataFrame(
+        [(p0["url"], dt.datetime(2026, 2, 1), pX["html"], pX["text"], "ja")],
+        PAGES_SCHEMA,
+    )
+    incremental_update(spark, d, mod, now="2026-01-01 12:00:00")
+    out = rescore_index(spark, d, "2026-07-20 12:00:00")
+    assert out["n_affected"] > 0
+    s = IndexSearcher(spark, d, mode="myaku")
+    term = (
+        spark.read.parquet(catalog.path_of(d, "term_stats"))
+        .groupBy("term").agg(F.sum("df").alias("df"))
+        .orderBy(F.desc("df")).limit(1).collect()[0].term
+    )
+    hits = s.search([term], k=30)
+    assert hits == s.search([term], k=30, exhaustive=True)
+    # Tombstones survived the rescore version bump.
+    tombs = load_tombstones(spark, d)
+    assert len(tombs) == 1
+    assert all(doc not in tombs for _, doc in hits)
