@@ -653,18 +653,73 @@ def q_simhash_pairs(spark, sf_dir):
     )
 
 
-def q_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed approximate NN (rows-only; exact twin is embedding_topk)."""
-    from myaku_spark.operators.similarity import ann_topk
+ANN_PLANES = 4
 
-    emb = _emb(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+
+def _ann_sign_dot(vec: str, plane: int):
+    """<v, h_p> with h_p[i] = ±1 from the parity of the md5-derived id of
+    'p:i' — the repo's engine-independent hash (term_id_col), so DuckDB
+    replays the identical hyperplane."""
+    return F.expr(
+        f"""aggregate(zip_with({vec}, sequence(0, size({vec}) - 1),
+          (x, i) -> cast(x as double) *
+            (cast(cast(conv(substring(md5(concat('{plane}:',
+                 cast(i as string))), 1, 14), 16, 10) as bigint) % 2
+              as double) * 2.0d - 1.0d)),
+          0.0d, (acc, v) -> acc + v)"""
     )
-    cand = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
-    return ann_topk(cand, q, k=3, n_planes=4).select(
-        "q_id", "vec_id", F.col("rank").cast("int").alias("rank"),
-        F.round("cos", 3).alias("cos_r"),
+
+
+def _ann_bucket(df, vec: str):
+    bucket = F.lit(0)
+    for p in range(ANN_PLANES):
+        bucket = bucket * 2 + F.when(_ann_sign_dot(vec, p) >= 0, 1).otherwise(0)
+    return df.withColumn("lsh_bucket", bucket.cast("int"))
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN gate twin, DuckDB-oracled end-to-end.
+
+    Identical plan shape to the production ann_topk (operators/
+    similarity.py:91 — sign-hyperplane bucket → bucket equi-join →
+    windowed exact cosine among same-bucket candidates); the twin's
+    hyperplane signs come from the md5 cross-engine hash instead of
+    xxhash64 so the DuckDB oracle replays the exact bucket assignment.
+    The xxhash64 production planes are pytest-covered
+    (test_ann_topk_recall_vs_exact)."""
+    emb = _emb(spark, sf_dir)
+    q = _ann_bucket(
+        emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        ),
+        "q_emb",
+    )
+    cand = _ann_bucket(
+        emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding"),
+        "embedding",
+    )
+    joined = cand.join(F.broadcast(q), "lsh_bucket")
+    dot = F.expr(
+        "aggregate(zip_with(embedding, q_emb, (x, y) ->"
+        " cast(x as double) * cast(y as double)), 0.0d, (acc, v) -> acc + v)"
+    )
+    na = F.expr(
+        "sqrt(aggregate(embedding, 0.0d, (acc, v) ->"
+        " acc + cast(v as double) * cast(v as double)))"
+    )
+    nb = F.expr(
+        "sqrt(aggregate(q_emb, 0.0d, (acc, v) ->"
+        " acc + cast(v as double) * cast(v as double)))"
+    )
+    scored = joined.select("q_id", "vec_id", (dot / (na * nb)).alias("cos"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.desc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "q_id", "vec_id", F.col("rank").cast("int").alias("rank"),
+            F.round("cos", 3).alias("cos_r"),
+        )
     )
 
 
@@ -1082,11 +1137,15 @@ def q_tpch_revenue_topk(spark, sf_dir):
             ).alias("revenue")
         )
     )
+    # TakeOrderedAndProject (orderBy+limit) instead of an unpartitioned
+    # window: the full aggregated fact never funnels through a single
+    # partition — each task keeps a local top-10, the driver merges 10
+    # rows per partition. The rank window then runs over 10 rows total.
+    top = rev.orderBy(F.desc("revenue"), F.desc("l_orderkey")).limit(10)
     w = Window.orderBy(F.desc("revenue"), F.desc("l_orderkey"))
-    return (
-        rev.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("l_orderkey", "o_orderdate", "revenue", F.col("rank").cast("int").alias("rank"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "l_orderkey", "o_orderdate", "revenue",
+        F.col("rank").cast("int").alias("rank"),
     )
 
 
@@ -1764,3 +1823,68 @@ WHERE bit_count(xor(l.simhash, r.simhash)) <= {SH_MAX_HAMMING}
 
 # Full-probe IVF is rank-identical to brute force → same exact oracle.
 ORACLE["ivf_topk"] = ORACLE["embedding_topk"]
+
+
+def _ann_sign_sql(plane: int) -> str:
+    """DuckDB twin of _ann_sign_dot's ±1 component (md5 parity of 'p:i')."""
+    return (
+        f"(CASE WHEN CAST('0x' || substr(md5('{plane}:' ||"
+        " CAST(i AS VARCHAR)), 1, 14) AS BIGINT) % 2 = 1"
+        " THEN 1.0 ELSE -1.0 END)"
+    )
+
+
+def _ann_bucket_sql(src: str, id_col: str, vec: str, out: str) -> str:
+    sums = ",\n    ".join(
+        f"sum(x * {_ann_sign_sql(p)}) AS d{p}" for p in range(ANN_PLANES)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN d{p} >= 0 THEN {1 << (ANN_PLANES - 1 - p)} ELSE 0 END)"
+        for p in range(ANN_PLANES)
+    )
+    return f"""
+{out}_exp AS (
+  SELECT {id_col}, CAST(unnest({vec}) AS DOUBLE) AS x,
+         unnest(range(len({vec}))) AS i
+  FROM {src}
+),
+{out}_sums AS (
+  SELECT {id_col},
+    {sums}
+  FROM {out}_exp GROUP BY {id_col}
+),
+{out} AS (SELECT {id_col}, {bits} AS b FROM {out}_sums)"""
+
+
+ORACLE["ann_lsh_topk"] = f"""
+WITH q0 AS (SELECT vec_id AS q_id, embedding AS q_emb
+            FROM embeddings WHERE vec_id < 5),
+c0 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+{_ann_bucket_sql('c0', 'vec_id', 'embedding', 'cbk')},
+{_ann_bucket_sql('q0', 'q_id', 'q_emb', 'qbk')},
+pairs AS (
+  SELECT c0.vec_id, q0.q_id, c0.embedding, q0.q_emb
+  FROM c0 JOIN cbk ON c0.vec_id = cbk.vec_id
+       JOIN qbk ON cbk.b = qbk.b
+       JOIN q0 ON q0.q_id = qbk.q_id
+),
+expl AS (
+  SELECT vec_id, q_id,
+         CAST(unnest(embedding) AS DOUBLE) AS x,
+         CAST(unnest(q_emb) AS DOUBLE) AS y
+  FROM pairs
+),
+sums AS (
+  SELECT vec_id, q_id, sum(x * y) AS dot, sqrt(sum(x * x)) AS na,
+         sqrt(sum(y * y)) AS nb
+  FROM expl GROUP BY vec_id, q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, dot / (na * nb) AS cos,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY dot / (na * nb) DESC, vec_id DESC) AS rank
+  FROM sums
+)
+SELECT q_id, vec_id, CAST(rank AS INT) AS rank, round(cos, 3) AS cos_r
+FROM ranked WHERE rank <= 3
+"""
