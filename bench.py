@@ -145,6 +145,39 @@ def main() -> None:
     timings["wand_headterm_and"] = round(time.time() - t0, 3)
     wand_bytes = int(lazy.store.bytes_fetched)
     wand_jobs = int(lazy.store.fetch_jobs)
+
+    # Batched WAND: 128 queries in ONE Spark job (explode → segment join
+    # → per-query applyInPandas WAND) vs the serial driver loop above.
+    from myaku_spark.operators.batch_search import batch_search
+
+    all_terms = [
+        r.term
+        for r in spark.read.parquet(f"{idx_dir}/term_stats")
+        .groupBy("term")
+        .agg(F2.sum("df").alias("df"))
+        .orderBy(F2.desc("df"), "term")
+        .limit(256)
+        .collect()
+    ]
+    n_q = 128
+    batch_queries = []
+    for i in range(n_q):
+        if i % 2 == 0:
+            batch_queries.append((f"q{i}", [all_terms[i % len(all_terms)]]))
+        else:
+            batch_queries.append(
+                (f"q{i}",
+                 [all_terms[i % len(all_terms)],
+                  all_terms[(i * 7 + 3) % len(all_terms)]])
+            )
+    t0 = time.time()
+    n_batch_rows = batch_search(
+        spark, idx_dir, batch_queries, k=10, combine="and"
+    ).count()
+    batch_sec = time.time() - t0
+    timings["wand_batch_128q"] = round(batch_sec, 3)
+    batch_qps = round(n_q / batch_sec, 1) if batch_sec > 0 else 0.0
+
     shutil.rmtree(idx_dir, ignore_errors=True)
     pages.unpersist()
 
@@ -165,6 +198,9 @@ def main() -> None:
                 "headterm_bytes_to_driver": wand_bytes,
                 "headterm_segment_bytes": seg_bytes_total,
                 "headterm_fetch_jobs": wand_jobs,
+                "batch_queries": n_q,
+                "batch_qps": batch_qps,
+                "batch_result_rows": int(n_batch_rows),
                 "cpus": cpus,
             }
         )

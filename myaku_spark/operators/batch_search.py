@@ -1,0 +1,189 @@
+"""Distributed batched WAND: N queries evaluated in one Spark job.
+
+The interactive path (operators/search.py) runs WAND on the driver with
+lazy two-phase blob fetches — right for a single query, but a batch of
+N queries pays N serial driver round-trips. Here the whole batch is one
+shuffle + one applyInPandas pass:
+
+    queries (query_id, terms[]) --explode--> (query_id, term)
+        ⋈ term segments (bucket partition pruning + parquet term
+          pushdown — only the batch's terms are scanned)
+        --groupBy(query_id)--> applyInPandas: block-max WAND per query
+        --> (query_id, rank, doc_id, score)
+
+Each query's candidate blocks ship to exactly one task, where the SAME
+WAND evaluator the driver uses (operators/wand.py — one code path, one
+correctness proof: tests assert batch == per-query == exhaustive) runs
+with all block-max skipping intact. Scale shape: the shuffle volume is
+Σ_q Σ_{t∈q} segment_bytes(t) — bounded by the batch's term footprint,
+never the corpus; head terms shared by many queries are re-shipped per
+query, the price of perfect per-query locality (a term-at-a-time
+pre-score pass could trade that off, but loses conjunctive skipping).
+Tombstones ride a broadcast sorted array applied at block decode.
+
+Reference anchor: this is the Spark-native form of Myaku's per-term
+indexed query (datastore/index_search.py:207-248) lifted to query SETS,
+the shape the north rule's 10^12-doc batch evaluation needs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from myaku_spark.functions.widthnorm import normalize_char_width
+
+BATCH_RESULT_SCHEMA = StructType(
+    [
+        StructField("query_id", StringType()),
+        StructField("rank", IntegerType()),
+        StructField("doc_id", LongType()),
+        StructField("score", DoubleType()),
+    ]
+)
+
+_SEG_COLS = [
+    "term", "group", "block_id", "n_postings", "min_doc", "max_doc",
+    "max_tf", "min_dl", "max_score", "blob",
+]
+
+
+def _make_runner(k: int, combine: str, mode: str, deleted_bc, bm25_stats):
+    """applyInPandas kernel: one query's joined segment rows → top-k."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        from myaku_spark.operators.wand import (
+            BM25Scorer,
+            MyakuScorer,
+            cursors_from_segments,
+            stats_for_bm25,
+            wand_topk_and,
+            wand_topk_or,
+        )
+
+        empty = pd.DataFrame(
+            {"query_id": pd.Series(dtype=object),
+             "rank": pd.Series(dtype="int32"),
+             "doc_id": pd.Series(dtype="int64"),
+             "score": pd.Series(dtype="float64")}
+        )
+        if len(pdf) == 0:
+            return empty
+        qid = pdf["query_id"].iloc[0]
+        n_terms = int(pdf["n_terms"].iloc[0])
+        present = pdf["term"].nunique()
+        # Conjunctive contract: a term with no postings at all means no
+        # document can match (search.py:321 parity).
+        if combine == "and" and present < n_terms:
+            return empty
+        deleted = deleted_bc.value if deleted_bc is not None else None
+        if mode == "myaku":
+            scorer_for_term = lambda term: MyakuScorer()  # noqa: E731
+        else:
+            n_docs, avgdl, df_map = bm25_stats
+            scorer_for_term = lambda term: BM25Scorer(  # noqa: E731
+                idf=stats_for_bm25(n_docs, df_map.get(term, 0)), avgdl=avgdl
+            )
+        rows = pdf[_SEG_COLS].to_dict("records")
+        cursors = list(
+            cursors_from_segments(rows, scorer_for_term, deleted=deleted).values()
+        )
+        top = (
+            wand_topk_and(cursors, k)
+            if combine == "and"
+            else wand_topk_or(cursors, k)
+        )
+        if not top:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": [qid] * len(top),
+                "rank": np.arange(1, len(top) + 1, dtype="int32"),
+                "doc_id": np.array([d for _, d in top], dtype="int64"),
+                "score": np.array([s for s, _ in top], dtype="float64"),
+            }
+        )
+
+    return run
+
+
+def batch_search(
+    spark: SparkSession,
+    index_dir: str,
+    queries,
+    k: int = 10,
+    combine: str = "and",
+    mode: str = "myaku",
+) -> DataFrame:
+    """Top-k per query for a batch of queries; returns
+    (query_id, rank, doc_id, score).
+
+    ``queries``: list[(query_id, [terms])] or a DataFrame with columns
+    (query_id string, terms array<string>). Terms are width-normalized
+    with the same P6 function the index applies (symmetry contract)."""
+    from myaku_spark.functions.xxh import term_bucket
+    from myaku_spark.operators.segments import N_BUCKETS
+    from myaku_spark.plans import catalog
+    from myaku_spark.plans.incremental import load_tombstones
+
+    _, paths = catalog.resolve(index_dir)
+    if not isinstance(queries, DataFrame):
+        queries = spark.createDataFrame(
+            [
+                (str(qid), [normalize_char_width(t) for t in terms])
+                for qid, terms in queries
+            ],
+            "query_id string, terms array<string>",
+        )
+    qterms = queries.select(
+        "query_id",
+        F.size(F.array_distinct("terms")).alias("n_terms"),
+        F.explode(F.array_distinct("terms")).alias("term"),
+    )
+    # Driver-side term list for bucket partition pruning (batch term sets
+    # are driver-sized by construction; the segment rows are not).
+    terms = [r.term for r in qterms.select("term").distinct().collect()]
+    if not terms:
+        return spark.createDataFrame([], BATCH_RESULT_SCHEMA)
+    buckets = sorted({term_bucket(t, N_BUCKETS) for t in terms})
+    segs = (
+        spark.read.parquet(paths["segments"])
+        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+        .select(*_SEG_COLS)
+    )
+    joined = segs.join(F.broadcast(qterms), "term")
+
+    deleted = load_tombstones(spark, index_dir, path=paths["tombstones"])
+    deleted_bc = None
+    if deleted:
+        arr = np.sort(np.fromiter(deleted, dtype=np.int64, count=len(deleted)))
+        deleted_bc = spark.sparkContext.broadcast(arr)
+    bm25_stats = None
+    if mode == "bm25":
+        r = spark.read.parquet(paths["corpus_stats"]).collect()[0]
+        df_rows = (
+            spark.read.parquet(paths["term_stats"])
+            .filter(F.col("term").isin(terms))
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .collect()
+        )
+        bm25_stats = (
+            int(r.n_docs),
+            float(r.avgdl),
+            {x.term: int(x.df) for x in df_rows},
+        )
+    return joined.groupBy("query_id").applyInPandas(
+        _make_runner(k, combine, mode, deleted_bc, bm25_stats),
+        BATCH_RESULT_SCHEMA,
+    )

@@ -27,7 +27,6 @@ from pyspark.sql import functions as F
 
 from myaku_spark.functions.widthnorm import normalize_char_width
 from myaku_spark.operators.bm25 import PAGE_SIZE
-from myaku_spark.operators.segments import read_term_segments
 from myaku_spark.operators.wand import (
     BM25Scorer,
     MyakuScorer,
@@ -91,12 +90,30 @@ class SegmentBlobStore:
         self.cached_blob_bytes = 0
         self.bytes_fetched = 0
         self.fetch_jobs = 0
+        self._df = None
+
+    def _seg_df(self):
+        """One parquet DataFrame reused by every fetch — planning a fresh
+        read per window was measurable per-query driver latency."""
+        if self._df is None:
+            self._df = self.spark.read.parquet(self.seg_path)
+        return self._df
+
+    def _bucket_filter(self, terms: list[str]):
+        """Partition pruning via the driver-side xxhash64 twin (xxh.py) —
+        bucket computation costs arithmetic, not a Spark job."""
+        from myaku_spark.functions.xxh import term_bucket
+        from myaku_spark.operators.segments import N_BUCKETS
+
+        buckets = sorted({term_bucket(t, N_BUCKETS) for t in terms})
+        return F.col("bucket").isin(buckets)
 
     def ensure_terms(self, terms: list[str]) -> None:
         missing = [t for t in terms if t not in self.meta]
         if missing:
             rows = (
-                read_term_segments(self.spark, self.seg_path, missing)
+                self._seg_df()
+                .filter(self._bucket_filter(missing) & F.col("term").isin(missing))
                 .select(*_META_COLS)
                 .collect()
             )
@@ -136,7 +153,7 @@ class SegmentBlobStore:
             return
         buckets = list({int(self.meta[t][0].bucket) for t in small})
         rows = (
-            self.spark.read.parquet(self.seg_path)
+            self._seg_df()
             .filter(F.col("bucket").isin(buckets) & F.col("term").isin(small))
             .select("term", "group", "block_id", "blob")
             .collect()
@@ -175,7 +192,7 @@ class SegmentBlobStore:
         want = list({int(r.block_id) for r in window})
         bucket = int(metas[idx].bucket)
         rows = (
-            self.spark.read.parquet(self.seg_path)
+            self._seg_df()
             .filter(
                 (F.col("bucket") == bucket)
                 & (F.col("term") == term)

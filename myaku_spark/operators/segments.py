@@ -268,15 +268,11 @@ def write_segments(segments: DataFrame, path: str, mode: str = "overwrite"):
 
 def read_term_segments(spark, path: str, terms: list[str]) -> DataFrame:
     """Read only the buckets/rows of the query terms (partition pruning +
-    parquet predicate pushdown on term)."""
-    buckets = list(
-        {
-            r.bucket
-            for r in spark.createDataFrame([(t,) for t in terms], ["term"])
-            .select(term_bucket_col(F.col("term")).alias("bucket"))
-            .collect()
-        }
-    )
+    parquet predicate pushdown on term). Buckets are computed driver-side
+    with the pure-Python xxhash64 twin — no Spark job per lookup."""
+    from myaku_spark.functions.xxh import term_bucket
+
+    buckets = sorted({term_bucket(t, N_BUCKETS) for t in terms})
     df = spark.read.parquet(path)
     return df.filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
 
