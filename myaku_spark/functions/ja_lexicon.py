@@ -36,7 +36,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-JA_LEXICON_VERSION = "builtin-dict-2"
+JA_LEXICON_VERSION = "builtin-dict-3-jmdictxml"
 
 # ---------------------------------------------------------------------------
 # Token piece: one dictionary-attested token (surface slice, base form, POS).
@@ -107,15 +107,10 @@ ENTITY_ENTRIES: list[tuple[str, str]] = [
     ("吾輩は猫である", "名詞-固有名詞-一般"),
 ]
 
-# JMdict subset: (entry_id, text_form). Entry ids are the reference's
-# golden JMdict ids (test_crawl.py:1104-1653). The decomp map key is
-# computed at build time by tokenizing text_form in isolation.
-JMDICT_ENTRIES: list[tuple[str, str]] = [
-    ("1007310", "だから"),
-    ("2098190", "雪曇り"),
-    ("1401460", "窓枠"),
-    ("2765450", "美しさ"),
-]
+# JMdict content now comes from a JMdict-FORMAT XML file parsed by
+# functions/jmdict_xml.py (the packaged jmdict_fragment.xml carries the
+# curated entries, ids matching the reference's golden expectations,
+# test_crawl.py:1104-1653) — a full JMdict file is a data drop-in.
 
 
 def _expand_conjugations(base: str, pos: str, conj: str | None):
@@ -188,6 +183,7 @@ class JaDictionary:
         self,
         extra_jmdict_surfaces: set[str] | None = None,
         extra_words: list[tuple[str, str, str | None]] | None = None,
+        jmdict_xml_path: str | None = None,
     ) -> None:
         self.version = JA_LEXICON_VERSION
         surface_map: dict[str, tuple[Piece, ...]] = {}
@@ -212,16 +208,22 @@ class JaDictionary:
             )
         )
 
-        # JMdict subset: decomp computed with THIS dictionary's word layer
-        # (same circularity as the reference, where JMdict construction
+        # JMdict subset from the XML parse path (jmdict_xml.py): decomp
+        # keys computed with THIS dictionary's word layer (same
+        # circularity as the reference, where JMdict construction
         # MeCab-parses each entry text form, japanese_analysis.py:766-771).
-        self.jmdict = JMdictSubset()
+        from myaku_spark.functions.jmdict_xml import (
+            DEFAULT_FRAGMENT,
+            parse_jmdict_xml,
+        )
         from myaku_spark.functions.tokenize import tokenize_ja_block
 
-        entries = list(JMDICT_ENTRIES) + [
+        self.jmdict = JMdictSubset()
+        parsed = parse_jmdict_xml(jmdict_xml_path or DEFAULT_FRAGMENT)
+        pairs = [(e.entry_id, e.text_form) for e in parsed] + [
             (None, s) for s in sorted(extra_jmdict_surfaces or ())
         ]
-        for entry_id, text_form in entries:
+        for entry_id, text_form in pairs:
             toks = tokenize_ja_block(text_form, 0, dictionary=self)
             decomp = tuple(t["base"] for t in toks)
             self.jmdict.add(entry_id, text_form, decomp)

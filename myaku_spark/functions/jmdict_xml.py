@@ -1,0 +1,149 @@
+"""JMdict XML parser → lookup-map entries (reference parity).
+
+Re-expresses the reference's JMdict load path
+(/root/reference/myaku/japanese_analysis.py:570-763) over the public
+JMdict XML format (http://www.edrdg.org/jmdict/j_jmdict.html):
+
+- one output entry per REPRESENTATION element (k_ele kanji / r_ele
+  reading) of each <entry>, carrying ent_seq as the entry id and
+  keb/reb as the text form (_parse_entry_xml, :570-628);
+- <sense> data (pos, field, misc, dial) is merged onto every repr the
+  sense applies to; <stagk>/<stagr> restrict a sense to named reprs;
+  senses apply in document order with later senses overwriting earlier
+  ones — the reference's exact _add_sense_data behavior (:630-644);
+- malformed XML (unknown child tag, missing required tag, empty text)
+  raises ValueError like the reference's ResourceLoadError paths.
+
+The entry stream feeds JMdictSubset (ja_lexicon.py), which computes
+each text form's decomposition with OUR tokenizer — the analog of the
+reference MeCab-parsing every entry text form to key its
+mecab_decomp_map (_get_mecab_decomb, :766-771) — and tracks the
+max-length stats (_set_max_entry_lens, :773-787) that gate the meta
+n-gram scan.
+
+A real (190 MB) JMdict file drops in unchanged; the packaged
+``jmdict_fragment.xml`` carries the curated subset in the same format
+so the data side is a file swap, not a code change.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from xml.etree import ElementTree
+
+DEFAULT_FRAGMENT = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "jmdict_fragment.xml"
+)
+
+_REPR_TAGS = {"k_ele", "r_ele"}
+_TEXT_FORM_TAG = {"k_ele": "keb", "r_ele": "reb"}
+_REPR_OPTIONAL = {
+    "k_ele": ("ke_inf", "ke_pri"),
+    "r_ele": ("re_inf", "re_pri"),
+}
+_SENSE_TAGS = ("stagk", "stagr", "pos", "field", "misc", "dial", "s_inf")
+
+
+@dataclass
+class JMdictXmlEntry:
+    """One representation of one JMdict entry (JMdictEntry twin,
+    datatypes-level fields only — the lookup maps key on
+    (entry_id, text_form))."""
+
+    entry_id: str = ""
+    text_form: str = ""
+    text_form_info: tuple = ()
+    text_form_freq: tuple = ()
+    parts_of_speech: tuple = ()
+    fields: tuple = ()
+    dialects: tuple = ()
+    misc: tuple = ()
+
+
+@dataclass
+class _Sense:
+    applicable_elements: tuple = ()
+    parts_of_speech: tuple = ()
+    fields: tuple = ()
+    dialects: tuple = ()
+    misc: tuple = ()
+
+
+def _texts(parent, tag: str, required: bool = False) -> tuple:
+    found = parent.findall(tag)
+    if required and not found:
+        raise ValueError(
+            f"Malformed JMdict XML: no <{tag}> within <{parent.tag}>"
+        )
+    out = []
+    for ele in found:
+        if not ele.text:
+            raise ValueError(
+                f"Malformed JMdict XML: empty <{ele.tag}> in <{parent.tag}>"
+            )
+        out.append(ele.text)
+    return tuple(out)
+
+
+def _parse_entry(entry) -> list[JMdictXmlEntry]:
+    entry_id = _texts(entry, "ent_seq", required=True)[0]
+    reprs: list[JMdictXmlEntry] = []
+    senses: list[_Sense] = []
+    for element in entry:
+        if element.tag in _REPR_TAGS:
+            text_form = _texts(element, _TEXT_FORM_TAG[element.tag],
+                               required=True)[0]
+            info_tag, pri_tag = _REPR_OPTIONAL[element.tag]
+            reprs.append(
+                JMdictXmlEntry(
+                    entry_id=entry_id,
+                    text_form=text_form,
+                    text_form_info=_texts(element, info_tag),
+                    text_form_freq=_texts(element, pri_tag),
+                )
+            )
+        elif element.tag == "sense":
+            senses.append(
+                _Sense(
+                    applicable_elements=(
+                        _texts(element, "stagk") + _texts(element, "stagr")
+                    ),
+                    parts_of_speech=_texts(element, "pos"),
+                    fields=_texts(element, "field"),
+                    dialects=_texts(element, "dial"),
+                    misc=_texts(element, "misc") + _texts(element, "s_inf"),
+                )
+            )
+        elif element.tag != "ent_seq":
+            raise ValueError(
+                f"Malformed JMdict XML: unknown tag <{element.tag}> in "
+                f"<entry> {entry_id}"
+            )
+    # Sense merge with repr restriction; later senses overwrite — the
+    # reference's _add_sense_data contract (:630-644).
+    for sense in senses:
+        for r in reprs:
+            if (
+                sense.applicable_elements
+                and r.text_form not in sense.applicable_elements
+            ):
+                continue
+            r.parts_of_speech = sense.parts_of_speech
+            r.fields = sense.fields
+            r.dialects = sense.dialects
+            r.misc = sense.misc
+    return reprs
+
+
+def parse_jmdict_xml(source: str) -> list[JMdictXmlEntry]:
+    """Parse a JMdict XML file (path) or document (string) into one
+    JMdictXmlEntry per representation element."""
+    if "\n" in source or source.lstrip().startswith("<"):
+        root = ElementTree.fromstring(source)
+    else:
+        root = ElementTree.parse(source).getroot()
+    out: list[JMdictXmlEntry] = []
+    for entry in root:
+        out.extend(_parse_entry(entry))
+    return out
