@@ -959,6 +959,120 @@ def _fli_rollup_values() -> str:
     )
 
 
+def q_fli_field_families(spark, sf_dir):
+    """DEFINITE/POSSIBLE field families (document_convert.py:204-222):
+    the reference stores three match-group / positions-count /
+    score-mod / score column families per FLI document, equal in value
+    because the alt-form query types are declared but unimplemented.
+    This gate rolls up EACH family from its OWN stored columns (three
+    aggregations over genuinely different fields, unioned); the oracle
+    pins the equal-values contract numerically."""
+    from myaku_spark.functions.textfns import alnum_count_udf
+    from myaku_spark.functions.tokenize import explode_ja_tokens
+    from myaku_spark.operators.fli_docs import (
+        QUERY_TYPE_COUNT_FIELD,
+        QUERY_TYPE_MOD_FIELD,
+        QUERY_TYPE_QUERY_FIELD,
+        QUERY_TYPE_SCORE_FIELD,
+        build_fli_documents,
+    )
+    from myaku_spark.plans.build_index import extract_and_dedupe
+    from myaku_spark.sources.pages import synth_pages_df
+
+    pages = synth_pages_df(spark, 60, partitions=4)
+    docs = (
+        extract_and_dedupe(pages)
+        .withColumn("doc_id", F.xxhash64("url"))
+        .withColumn("alnum", alnum_count_udf(F.col("text")))
+        .withColumn(
+            "doc_score",
+            scoring.article_quality_score_col(
+                F.col("alnum"), F.col("warc_ts"),
+                F.lit(FIXED_NOW).cast("timestamp"),
+            ),
+        )
+        .withColumn("doc_ts", F.col("warc_ts"))
+    )
+    fli = build_fli_documents(
+        explode_ja_tokens(docs, "text", "doc_id", include_analysis=True), docs
+    )
+    fams = None
+    for fam in ("exact", "definite", "possible"):
+        agg = (
+            fli.agg(
+                F.countDistinct(QUERY_TYPE_QUERY_FIELD[fam])
+                .cast("long")
+                .alias("n_terms"),
+                F.count(F.lit(1)).cast("long").alias("n_flis"),
+                F.sum(QUERY_TYPE_COUNT_FIELD[fam])
+                .cast("long")
+                .alias("sum_positions"),
+                F.sum(QUERY_TYPE_MOD_FIELD[fam]).cast("long").alias("sum_mods"),
+                F.max(QUERY_TYPE_SCORE_FIELD[fam]).cast("long").alias("max_score"),
+            )
+            .withColumn("family", F.lit(fam))
+            .select(
+                "family", "n_terms", "n_flis", "sum_positions", "sum_mods",
+                "max_score",
+            )
+        )
+        fams = agg if fams is None else fams.unionByName(agg)
+    return fams
+
+
+def _fli_field_families_values() -> str:
+    import datetime as dt
+    import math
+
+    from myaku_spark.functions.textfns import alnum_count_py
+    from myaku_spark.functions.tokenize import tokenize_ja_text
+    from myaku_spark.operators.scoring import (
+        ARTICLE_FACTOR_WEIGHTS,
+        LENGTH_BUCKETS,
+        RECENCY_BUCKETS,
+        TF_BUCKETS,
+        TF_MOD_WEIGHT,
+        bucket_score,
+    )
+    from myaku_spark.sources.pages import synth_page
+
+    now = dt.datetime.fromisoformat(FIXED_NOW)
+    terms: set[str] = set()
+    n_flis = 0
+    sum_positions = 0
+    sum_mods = 0
+    max_score = None
+    for i in range(60):
+        p = synth_page(i)
+        days = math.floor((now - p["warc_ts"]).total_seconds() / 86400.0)
+        art_score = (
+            bucket_score(alnum_count_py(p["text"]), LENGTH_BUCKETS)
+            * ARTICLE_FACTOR_WEIGHTS["length"]
+            + bucket_score(days, RECENCY_BUCKETS)
+            * ARTICLE_FACTOR_WEIGHTS["recency"]
+        )
+        per_term: dict[str, set] = {}
+        for t in tokenize_ja_text(p["text"]):
+            per_term.setdefault(t["term"], set()).add((t["start"], t["length"]))
+        terms.update(per_term)
+        n_flis += len(per_term)
+        for pos in per_term.values():
+            sum_positions += len(pos)
+            mod = bucket_score(len(pos), TF_BUCKETS) * TF_MOD_WEIGHT
+            sum_mods += mod
+            score = art_score + mod
+            max_score = score if max_score is None else max(max_score, score)
+    rows = [
+        (fam, len(terms), n_flis, sum_positions, sum_mods, max_score)
+        for fam in ("exact", "definite", "possible")
+    ]
+    return _values_sql(
+        rows,
+        ["family", "n_terms", "n_flis", "sum_positions", "sum_mods",
+         "max_score"],
+    )
+
+
 def q_blog_rollup(spark, sf_dir):
     """J2 blog dimension end-to-end: synth pages ⋈ article→blog map ⋈
     broadcast blogs dimension → full 5-factor quality score → per-blog
@@ -1278,6 +1392,7 @@ QUERIES = {
     "media_features": q_media_features,
     "interp_position_map": q_interp_position_map,
     "fli_rollup": q_fli_rollup,
+    "fli_field_families": q_fli_field_families,
     "blog_rollup": q_blog_rollup,
     "pagination_page2": q_pagination_page2,
     "source_stats": q_source_stats,
@@ -1814,6 +1929,7 @@ WHERE bit_count(xor(l.simhash, r.simhash)) <= {SH_MAX_HAMMING}
 """,
     "interp_position_map": _interp_position_map_values(),
     "fli_rollup": _fli_rollup_values(),
+    "fli_field_families": _fli_field_families_values(),
     "blog_rollup": _blog_rollup_values(),
     "lang_id": _lang_id_sql(),
     "extraction_parity": _extraction_parity_values(),

@@ -39,6 +39,43 @@ QUERY_TYPE_SCORE_FIELD = {
     "definite": "quality_score_definite",
     "possible": "quality_score_possible",
 }
+QUERY_TYPE_COUNT_FIELD = {
+    "exact": "found_positions_exact_count",
+    "definite": "found_positions_definite_count",
+    "possible": "found_positions_possible_count",
+}
+QUERY_TYPE_MOD_FIELD = {
+    "exact": "quality_score_exact_mod",
+    "definite": "quality_score_definite_mod",
+    "possible": "quality_score_possible_mod",
+}
+
+
+def search_fli_documents(
+    fli_docs: DataFrame, term: str, query_type: str = "exact", k: int = 10
+) -> DataFrame:
+    """The reference's indexed FLI query for one term under a query
+    type: filter on THAT type's match-group field and rank by THAT
+    type's score field + last-updated + doc_id descending — the exact
+    compound-index order (database.py:296-323: (query_field, score
+    field, article_last_updated_datetime, article_oid) DESC). Each
+    query type genuinely reads its own stored columns; their values
+    coincide because the reference stores the three families as equal
+    (document_convert.py:204-222 — DEFINITE/POSSIBLE are declared but
+    unimplemented upstream)."""
+    if query_type not in QUERY_TYPE_QUERY_FIELD:
+        raise ValueError(f"unknown query_type: {query_type!r}")
+    qf = QUERY_TYPE_QUERY_FIELD[query_type]
+    sf = QUERY_TYPE_SCORE_FIELD[query_type]
+    return (
+        fli_docs.filter(F.col(qf) == term)
+        .orderBy(
+            F.desc(sf),
+            F.desc("article_last_updated_datetime"),
+            F.desc("doc_id"),
+        )
+        .limit(k)
+    )
 
 
 def build_fli_documents(

@@ -1,24 +1,110 @@
 """Search-result preview building (K4/P12/P13 parity).
 
-The reference renders result previews by extracting the sentence around
-a matched position (article_preview.py:126-231), collapsing whitespace
-runs to an ideographic space (article_preview.py:26-34), and ranking
-candidate sentences by a quality-bucketed length sort
-(article_preview.py:37-62,142-160). Here: join top-k results to the
-docs' text, then one pandas UDF slices the sentence around the first
-matched position (textfns.find_sentence_start/end — the reference's own
-segmentation, unit-tested against its edge cases).
+The reference builds result previews by grouping every matched position
+into its containing sentence (datatypes.py:274-304
+group_text_positions_by_sentence), ranking the candidate sentences by a
+quality-bucketed length key (article_preview.py:37-62: ideal 70-90 >
+acceptable-short 50-69 > acceptable-long 91-100 > too-short > too-long;
+longer wins within a bucket), picking the best as the main sample
+(article_preview.py:142-160), and collapsing whitespace runs to an
+ideographic space (article_preview.py:26-34). Here: the per-doc matched
+positions come off the segment position streams, and one pandas UDF per
+result row runs the grouping + quality argmax — driver ships only the
+(≤ k·pages) result rows, never posting lists.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from myaku_spark.functions.textfns import (
     collapse_whitespace_col,
+    find_sentence_end,
+    find_sentence_start,
     sentence_at_udf,
 )
+
+# article_preview.py:15-18
+MIN_ACCEPTABLE_LEN = 50
+MIN_IDEAL_LEN = 70
+MAX_IDEAL_LEN = 90
+MAX_ACCEPTABLE_LEN = 100
+
+
+def preview_quality_key(sentence_len: int) -> tuple[int, int]:
+    """_sentence_group_preview_quality_key parity
+    (article_preview.py:37-62): (bucket, length), larger = better."""
+    if MIN_IDEAL_LEN <= sentence_len <= MAX_IDEAL_LEN:
+        return (2, sentence_len)
+    if MIN_ACCEPTABLE_LEN <= sentence_len < MIN_IDEAL_LEN:
+        return (1, sentence_len)
+    if MAX_IDEAL_LEN < sentence_len <= MAX_ACCEPTABLE_LEN:
+        return (0, sentence_len)
+    if sentence_len < MIN_ACCEPTABLE_LEN:
+        return (-1, sentence_len)
+    return (-2, sentence_len)
+
+
+def group_positions_by_sentence(
+    text: str, positions: list[tuple[int, int]]
+) -> list[tuple[tuple[int, int], list[tuple[int, int]]]]:
+    """group_text_positions_by_sentence parity (datatypes.py:274-304):
+    [(sentence (start, len), [match positions])], in sentence-start
+    order (positions are scanned sorted by start; consecutive positions
+    inside the same sentence reuse its extent)."""
+    groups: dict[tuple[int, int], list] = {}
+    end = -1
+    start = 0
+    for pos in sorted(positions):
+        p_start, p_len = int(pos[0]), int(pos[1])
+        if p_start > end:
+            start = find_sentence_start(text, p_start)
+            end = find_sentence_end(text, p_start + p_len)
+        groups.setdefault((start, end - start + 1), []).append((p_start, p_len))
+    return list(groups.items())
+
+
+def best_preview_sentence(text: str, positions) -> str:
+    """The main preview sample's sentence: quality-key argmax over all
+    candidate sentences containing a match. Stable-reverse sort parity:
+    among equal keys the EARLIEST sentence wins, exactly like the
+    reference's list.sort(key=..., reverse=True) on start-ordered
+    groups (article_preview.py:148-150)."""
+    if text is None:
+        return None
+    if not positions:
+        return ""
+    groups = group_positions_by_sentence(text, list(positions))
+    best = max(
+        range(len(groups)),
+        key=lambda i: (preview_quality_key(groups[i][0][1]), -i),
+    )
+    s_start, s_len = groups[best][0]
+    return text[s_start : s_start + s_len]
+
+
+def _best_sentence_udf():
+    """UDF built lazily — pandas_udf return-type parsing needs an active
+    session, so module import must stay session-free."""
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def best_sentence(
+        text: pd.Series, starts: pd.Series, lens: pd.Series
+    ) -> pd.Series:
+        return pd.Series(
+            [
+                best_preview_sentence(
+                    t,
+                    list(zip(s, ln)) if s is not None else [],
+                )
+                for t, s, ln in zip(text, starts, lens)
+            ]
+        )
+
+    return best_sentence
 
 
 def attach_previews(
@@ -27,11 +113,28 @@ def attach_previews(
     first_pos_col: str = "first_start",
     text_col: str = "text",
 ) -> DataFrame:
-    """results (doc_id, ..., first_start) ⋈ texts (doc_id, text) →
-    + preview column: the whitespace-collapsed sentence containing the
-    first matched position."""
+    """Single-position fallback: results (doc_id, ..., first_start) ⋈
+    texts → + preview column (sentence at the position)."""
     joined = hydrated.join(texts.select("doc_id", text_col), "doc_id", "left")
     sent = sentence_at_udf(F.col(text_col), F.col(first_pos_col))
+    return joined.withColumn(
+        "preview", collapse_whitespace_col(sent)
+    ).drop(text_col)
+
+
+def attach_ranked_previews(
+    hydrated: DataFrame,
+    texts: DataFrame,
+    starts_col: str = "match_starts",
+    lens_col: str = "match_lens",
+    text_col: str = "text",
+) -> DataFrame:
+    """K4: results carrying ALL matched positions ⋈ texts → + preview =
+    whitespace-collapsed best-quality sentence."""
+    joined = hydrated.join(texts.select("doc_id", text_col), "doc_id", "left")
+    sent = _best_sentence_udf()(
+        F.col(text_col), F.col(starts_col), F.col(lens_col)
+    )
     return joined.withColumn(
         "preview", collapse_whitespace_col(sent)
     ).drop(text_col)
@@ -44,9 +147,10 @@ def preview_for_results(
     terms: list[str],
     pages: DataFrame,
 ) -> DataFrame:
-    """Full preview pipeline for a search result list: recover the first
-    matched position of any query term per doc from the segments, then
-    slice the sentence. ``pages`` supplies (url, text)."""
+    """Full preview pipeline for a search result list: recover ALL
+    matched positions of the query terms per result doc from the
+    segments, then pick the best-quality sentence. ``pages`` supplies
+    (url, text)."""
     from myaku_spark.operators.codec import decode_block
     from myaku_spark.operators.segments import read_term_segments
 
@@ -68,9 +172,8 @@ def preview_for_results(
 
     from myaku_spark.plans import catalog
 
-    seg = read_term_segments(
-        spark, catalog.path_of(index_dir, "segments"), terms
-    )
+    _, paths = catalog.resolve(index_dir)
+    seg = read_term_segments(spark, paths["segments"], terms)
     meta = seg.select("term", "block_id", "min_doc", "max_doc").collect()
     need_by_term: dict[str, set] = {}
     for m in meta:
@@ -81,27 +184,33 @@ def preview_for_results(
         c = (F.col("term") == t) & F.col("block_id").isin(list(ids))
         cond = c if cond is None else (cond | c)
     rows = seg.filter(cond).collect() if cond is not None else []
-    first_pos: dict[int, int] = {}
+    match_pos: dict[int, list] = {}
     for r in rows:
         dec = decode_block(bytes(r.blob))
         pos = dec.get("positions")
+        if pos is None:
+            continue
         for i, d in enumerate(dec["doc_ids"]):
             d = int(d)
-            if d in doc_ids and pos is not None and pos[i]:
-                p = pos[i][0][0]
-                if d not in first_pos or p < first_pos[d]:
-                    first_pos[d] = p
+            if d in doc_ids and pos[i]:
+                match_pos.setdefault(d, []).extend(
+                    (int(s), int(ln)) for s, ln in pos[i]
+                )
     rdf = spark.createDataFrame(
         [
-            (int(d), float(s), int(first_pos.get(int(d), 0)))
+            (
+                int(d),
+                float(s),
+                [p[0] for p in sorted(match_pos.get(int(d), []))],
+                [p[1] for p in sorted(match_pos.get(int(d), []))],
+            )
             for s, d in results
         ],
-        ["doc_id", "score", "first_start"],
+        "doc_id long, score double, match_starts array<int>, "
+        "match_lens array<int>",
     )
-    docs = spark.read.parquet(catalog.path_of(index_dir, "docs")).select(
-        "doc_id", "url"
-    )
+    docs = spark.read.parquet(paths["docs"]).select("doc_id", "url")
     texts = docs.join(pages.select("url", "text"), "url").select(
         "doc_id", "text"
     )
-    return attach_previews(rdf.join(docs, "doc_id"), texts)
+    return attach_ranked_previews(rdf.join(docs, "doc_id"), texts)

@@ -205,3 +205,56 @@ def test_fli_docs_without_map_have_null_map(fli_docs):
                 term,
                 g["title"],
             )
+
+
+def test_search_fli_documents_per_family(spark):
+    # DEFINITE/POSSIBLE query types select genuinely different stored
+    # columns (their own match-group + score fields) and — because the
+    # reference stores the three families with equal values
+    # (document_convert.py:204-222) — return identical rankings in the
+    # reference's compound-index order (database.py:296-323).
+    from myaku_spark.functions.textfns import alnum_count_udf
+    from myaku_spark.operators import scoring
+    from myaku_spark.operators.fli_docs import (
+        QUERY_TYPE_QUERY_FIELD,
+        QUERY_TYPE_SCORE_FIELD,
+        search_fli_documents,
+    )
+    from myaku_spark.plans.build_index import extract_and_dedupe
+    from myaku_spark.sources.pages import synth_pages_df
+
+    pages = synth_pages_df(spark, 20, partitions=2)
+    docs = (
+        extract_and_dedupe(pages)
+        .withColumn("doc_id", F.xxhash64("url"))
+        .withColumn("alnum", alnum_count_udf(F.col("text")))
+        .withColumn(
+            "doc_score",
+            scoring.article_quality_score_col(
+                F.col("alnum"), F.col("warc_ts"),
+                F.lit("2026-08-01 00:00:00").cast("timestamp"),
+            ),
+        )
+        .withColumn("doc_ts", F.col("warc_ts"))
+    )
+    fli = build_fli_documents(
+        explode_ja_tokens(docs, "text", "doc_id", include_analysis=True), docs
+    ).persist()
+    term = (
+        fli.groupBy("base_form").count().orderBy(F.desc("count"), "base_form")
+        .limit(1).collect()[0].base_form
+    )
+    results = {}
+    for qt in ("exact", "definite", "possible"):
+        rows = search_fli_documents(fli, term, qt, k=5).collect()
+        assert rows
+        assert all(getattr(r, QUERY_TYPE_QUERY_FIELD[qt]) == term for r in rows)
+        results[qt] = [
+            (r.doc_id, getattr(r, QUERY_TYPE_SCORE_FIELD[qt])) for r in rows
+        ]
+    assert results["exact"] == results["definite"] == results["possible"]
+    scores = [s for _, s in results["exact"]]
+    assert scores == sorted(scores, reverse=True)
+    with pytest.raises(ValueError, match="query_type"):
+        search_fli_documents(fli, term, "fuzzy")
+    fli.unpersist()
