@@ -319,3 +319,36 @@ def test_rescore_after_compact_and_incremental(spark, tmp_path):
     tombs = load_tombstones(spark, d)
     assert len(tombs) == 1
     assert all(doc not in tombs for _, doc in hits)
+
+
+def test_auto_compact_tombstone_threshold(spark, tmp_path):
+    # Compaction pressure: once tombstones reach the threshold,
+    # incremental_update folds them immediately (bounding both the
+    # driver delete-vector and dead postings in the decode path).
+    from myaku_spark.plans import catalog
+
+    d = str(tmp_path / "acidx")
+    pages = synth_pages_df(spark, 10, partitions=2)
+    build_index(spark, pages, d, n_groups=1, now=NOW)
+    p0, pX = synth_page(0), synth_page(9300)
+    mod = spark.createDataFrame(
+        [(p0["url"], dt.datetime(2026, 2, 1), pX["html"], pX["text"], "ja")],
+        PAGES_SCHEMA,
+    )
+    row = incremental_update(
+        spark, d, mod, now=NOW, auto_compact_tombstones=1
+    )
+    assert row["compacted"]["tombstones_applied"] == 1
+    assert catalog.current(d)["version"] == 1
+    assert load_tombstones(spark, d) == set()
+    # Below threshold → no compaction.
+    p1, pY = synth_page(1), synth_page(9400)
+    mod2 = spark.createDataFrame(
+        [(p1["url"], dt.datetime(2026, 3, 1), pY["html"], pY["text"], "ja")],
+        PAGES_SCHEMA,
+    )
+    row2 = incremental_update(
+        spark, d, mod2, now=NOW, auto_compact_tombstones=5
+    )
+    assert "compacted" not in row2
+    assert len(load_tombstones(spark, d)) == 1
