@@ -723,6 +723,55 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding near-duplicate pairs, DuckDB-oracled gate twin of
+    similarity.embedding_near_dup_pairs: LSH-bucket self-join (never
+    all-pairs) + exact cosine verify ≥ threshold. Hyperplanes are the
+    md5 cross-engine hash (as in ann_lsh_topk); ×2-scaled twins
+    (vec_id+100000, cosine exactly 1.0 with their source) seed
+    guaranteed near-dups so the gate is non-vacuous. Production
+    xxhash64 planes are pytest-covered (test_embedding_near_dups)."""
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    twins = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, x -> cast(cast(x as double) * 2.0d as float))"
+        ).alias("embedding"),
+    )
+    allv = _ann_bucket(emb.unionByName(twins), "embedding")
+    left = allv.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        "lsh_bucket",
+    )
+    right = allv.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        "lsh_bucket",
+    )
+    pairs = left.join(right, "lsh_bucket").filter(
+        F.col("vec_a") < F.col("vec_b")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(emb_a, emb_b, (x, y) ->"
+        " cast(x as double) * cast(y as double)), 0.0d, (acc, v) -> acc + v)"
+    )
+    na = F.expr(
+        "sqrt(aggregate(emb_a, 0.0d, (acc, v) ->"
+        " acc + cast(v as double) * cast(v as double)))"
+    )
+    nb = F.expr(
+        "sqrt(aggregate(emb_b, 0.0d, (acc, v) ->"
+        " acc + cast(v as double) * cast(v as double)))"
+    )
+    cos = dot / (na * nb)
+    return (
+        pairs.select("vec_a", "vec_b", cos.alias("cos"))
+        .filter(F.round(cos, 4) >= 0.98)
+        .select("vec_a", "vec_b", F.round("cos", 3).alias("cos_r"))
+    )
+
+
 def q_lang_id(spark, sf_dir):
     """Heuristic language ID vs the labeled lang column (DuckDB-oracled:
     the script-ratio + marker-stopword heuristic is pure regex/list
@@ -1386,6 +1435,7 @@ QUERIES = {
     "quality_filter": q_quality_filter,
     "simhash_pairs": q_simhash_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "embedding_near_dup": q_embedding_near_dup,
     "lang_id": q_lang_id,
     "ja_index_postings": q_ja_index_postings,
     "extraction_parity": q_extraction_parity,
@@ -2003,4 +2053,41 @@ ranked AS (
 )
 SELECT q_id, vec_id, CAST(rank AS INT) AS rank, round(cos, 3) AS cos_r
 FROM ranked WHERE rank <= 3
+"""
+
+ORACLE["embedding_near_dup"] = f"""
+WITH twins AS (
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(embedding,
+                        x -> CAST(CAST(x AS DOUBLE) * 2.0 AS FLOAT))
+           AS embedding
+  FROM embeddings WHERE vec_id < 20
+),
+allv AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL SELECT vec_id, embedding FROM twins
+),
+{_ann_bucket_sql('allv', 'vec_id', 'embedding', 'bk')},
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         a.embedding AS emb_a, b.embedding AS emb_b
+  FROM allv a
+  JOIN bk ba ON a.vec_id = ba.vec_id
+  JOIN bk bb ON ba.b = bb.b
+  JOIN allv b ON b.vec_id = bb.vec_id
+  WHERE a.vec_id < b.vec_id
+),
+expl AS (
+  SELECT vec_a, vec_b,
+         CAST(unnest(emb_a) AS DOUBLE) AS x,
+         CAST(unnest(emb_b) AS DOUBLE) AS y
+  FROM pairs
+),
+sums AS (
+  SELECT vec_a, vec_b, sum(x * y) AS dot, sqrt(sum(x * x)) AS na,
+         sqrt(sum(y * y)) AS nb
+  FROM expl GROUP BY vec_a, vec_b
+)
+SELECT vec_a, vec_b, round(dot / (na * nb), 3) AS cos_r
+FROM sums WHERE round(dot / (na * nb), 4) >= 0.98
 """

@@ -18,6 +18,7 @@ term at 10^9 docs ships only the blocks WAND actually opens.
 
 from __future__ import annotations
 
+import threading
 import time as _time
 from collections import OrderedDict
 
@@ -290,6 +291,11 @@ class IndexSearcher:
         self._docs_path = self._paths["docs"]
         self.store = SegmentBlobStore(spark, self._paths["segments"])
         self.page_cache = UserPageCache()
+        # Serializes WAND evaluation between the interactive path and
+        # the async next-page precompute worker (the store's caches are
+        # not concurrency-safe); RLock because the worker calls search().
+        self._lock = threading.RLock()
+        self._precompute_threads: list[threading.Thread] = []
         if mode == "bm25":
             r = spark.read.parquet(self._paths["corpus_stats"]).collect()[0]
             self.n_docs, self.avgdl = int(r.n_docs), float(r.avgdl)
@@ -351,6 +357,13 @@ class IndexSearcher:
             terms = [normalize_char_width(t) for t in query.split()]
         else:
             terms = [normalize_char_width(t) for t in query]
+        self._lock.acquire()
+        try:
+            return self._search_locked(terms, k, combine, exhaustive)
+        finally:
+            self._lock.release()
+
+    def _search_locked(self, terms, k, combine, exhaustive):
         by_term = self._cursors(terms)
         cursors = list(by_term.values())
         # Intersection semantics: a query term absent from the index
@@ -386,6 +399,7 @@ class IndexSearcher:
         k: int = PAGE_SIZE,
         combine: str = "and",
         user_id: str | None = None,
+        async_precompute: bool = False,
     ) -> DataFrame:
         """K2 pagination: page N of results, hydrated.
 
@@ -393,7 +407,14 @@ class IndexSearcher:
         when the user just visited an adjacent page of the same query,
         and the pages at page_num ± 1 are pre-computed into the user's
         forward/backward slots (NextPageCache semantics,
-        cache.py:316-459)."""
+        cache.py:316-459).
+
+        ``async_precompute=True`` mirrors the reference's celery worker
+        (search/tasks.py:13-43, fired AFTER the response at
+        views.py:364-365): the requested page computes with exactly
+        k·page_num results and returns immediately; the adjacent-slot
+        computation runs on a daemon thread (serialized with interactive
+        searches via the evaluator lock). join_precompute() drains it."""
         if isinstance(query, str):
             terms = [normalize_char_width(t) for t in query.split()]
         else:
@@ -401,7 +422,28 @@ class IndexSearcher:
         page = None
         if user_id is not None:
             page = self.page_cache.get(user_id, terms, combine, page_num)
-        if page is None:
+        if page is None and async_precompute and user_id is not None:
+            top = self.search(terms, k * page_num, combine)
+            page = top[(page_num - 1) * k : page_num * k]
+
+            def _precompute():
+                full = self.search(terms, k * (page_num + 1), combine)
+                self.page_cache.set(
+                    user_id, 1, terms, combine, page_num + 1,
+                    full[page_num * k : (page_num + 1) * k],
+                )
+                if page_num > 1:
+                    self.page_cache.set(
+                        user_id, -1, terms, combine, page_num - 1,
+                        full[(page_num - 2) * k : (page_num - 1) * k],
+                    )
+
+            t = threading.Thread(
+                target=_precompute, daemon=True, name="next-page-precompute"
+            )
+            t.start()
+            self._precompute_threads.append(t)
+        elif page is None:
             top = self.search(terms, k * (page_num + 1), combine)
             page = top[(page_num - 1) * k : page_num * k]
             if user_id is not None:
@@ -415,3 +457,9 @@ class IndexSearcher:
                         user_id, -1, terms, combine, page_num - 1, prev
                     )
         return self.hydrate(page)
+
+    def join_precompute(self) -> None:
+        """Wait for outstanding async precompute workers (tests/shutdown)."""
+        for t in self._precompute_threads:
+            t.join()
+        self._precompute_threads.clear()

@@ -149,3 +149,39 @@ def test_search_page_uses_next_page_cache(spark, head_idx):
     fresh = IndexSearcher(spark, head_idx, mode="myaku")
     expect = [(d, sc) for sc, d in fresh.search(["head"], k=6, combine="or")[3:6]]
     assert sorted(r2) == sorted(expect)
+
+
+def test_search_page_async_precompute(spark, head_idx):
+    # The reference fires its surrounding-page cache fill AFTER the
+    # response via a celery worker (views.py:364-365, tasks.py:13-43);
+    # async_precompute mirrors that: the page returns from a k*page_num
+    # search and the ±1 slots fill on a background worker.
+    s = IndexSearcher(spark, head_idx, mode="myaku")
+    calls = {"n": 0}
+    orig = s.search
+
+    def counted(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    s.search = counted
+    p1 = s.search_page(
+        ["head"], page_num=1, k=3, combine="or", user_id="ua",
+        async_precompute=True,
+    )
+    r1 = [(r.doc_id, r.score) for r in p1.collect()]
+    s.join_precompute()
+    assert calls["n"] == 2  # inline page + background precompute
+    p2 = s.search_page(
+        ["head"], page_num=2, k=3, combine="or", user_id="ua",
+        async_precompute=True,
+    )
+    assert calls["n"] == 2  # served from the forward slot, no new search
+    r2 = [(r.doc_id, r.score) for r in p2.collect()]
+    assert r1 and r2 and not {d for d, _ in r1} & {d for d, _ in r2}
+    # Async page content equals the synchronous path's page.
+    fresh = IndexSearcher(spark, head_idx, mode="myaku")
+    sync1 = fresh.search_page(["head"], page_num=1, k=3, combine="or")
+    assert sorted(r1) == sorted(
+        (r.doc_id, r.score) for r in sync1.collect()
+    )
