@@ -117,6 +117,71 @@ def _make_runner(k: int, combine: str, mode: str, deleted_bc, bm25_stats):
     return run
 
 
+def _joined_blocks(
+    spark: SparkSession,
+    paths: dict,
+    qterms: DataFrame,
+    terms: list[str],
+    combine: str,
+    prefilter_and: bool,
+) -> DataFrame:
+    """(query_id, term) → candidate segment block rows (with blobs).
+
+    For conjunctive batches, ``prefilter_and`` prunes every term's
+    blocks to the doc ranges of the query's RAREST term BEFORE the
+    shuffle: any doc matching all terms appears in the rarest term's
+    postings, so blocks of other terms whose [min_doc, max_doc] overlaps
+    none of the rare term's block ranges cannot contribute — at
+    10^12-doc scale this is the difference between shipping a head
+    term's full block set per query and shipping only the slices around
+    the intersection. The rare ranges come off a metadata-only scan
+    (blob column pruned) and broadcast back; results are provably
+    unchanged (tests assert prefiltered == unfiltered == exhaustive)."""
+    from pyspark.sql import Window
+    from myaku_spark.functions.xxh import term_bucket
+    from myaku_spark.operators.segments import N_BUCKETS
+
+    buckets = sorted({term_bucket(t, N_BUCKETS) for t in terms})
+    base = spark.read.parquet(paths["segments"]).filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+    )
+    joined = base.select(*_SEG_COLS).join(F.broadcast(qterms), "term")
+    if combine != "and" or not prefilter_and:
+        return joined
+    # Metadata-only pass: total postings per (query, term) → rarest term
+    # per query → its block ranges, broadcast back as a per-query array.
+    meta = base.select("term", "n_postings", "min_doc", "max_doc").join(
+        F.broadcast(qterms.select("query_id", "term")), "term"
+    )
+    tp = meta.groupBy("query_id", "term").agg(
+        F.sum("n_postings").alias("tp")
+    )
+    w = Window.partitionBy("query_id").orderBy("tp", "term")
+    rare_terms = (
+        tp.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("query_id", "term")
+    )
+    rare_ranges = (
+        meta.join(F.broadcast(rare_terms), ["query_id", "term"])
+        .groupBy("query_id")
+        .agg(
+            F.collect_list(F.struct("min_doc", "max_doc")).alias("_ranges")
+        )
+    )
+    return (
+        joined.join(F.broadcast(rare_ranges), "query_id", "left")
+        .filter(
+            F.col("_ranges").isNull()
+            | F.expr(
+                "exists(_ranges, r -> r.min_doc <= max_doc"
+                " AND r.max_doc >= min_doc)"
+            )
+        )
+        .drop("_ranges")
+    )
+
+
 def batch_search(
     spark: SparkSession,
     index_dir: str,
@@ -124,6 +189,7 @@ def batch_search(
     k: int = 10,
     combine: str = "and",
     mode: str = "myaku",
+    prefilter_and: bool = True,
 ) -> DataFrame:
     """Top-k per query for a batch of queries; returns
     (query_id, rank, doc_id, score).
@@ -131,8 +197,6 @@ def batch_search(
     ``queries``: list[(query_id, [terms])] or a DataFrame with columns
     (query_id string, terms array<string>). Terms are width-normalized
     with the same P6 function the index applies (symmetry contract)."""
-    from myaku_spark.functions.xxh import term_bucket
-    from myaku_spark.operators.segments import N_BUCKETS
     from myaku_spark.plans import catalog
     from myaku_spark.plans.incremental import load_tombstones
 
@@ -155,13 +219,9 @@ def batch_search(
     terms = [r.term for r in qterms.select("term").distinct().collect()]
     if not terms:
         return spark.createDataFrame([], BATCH_RESULT_SCHEMA)
-    buckets = sorted({term_bucket(t, N_BUCKETS) for t in terms})
-    segs = (
-        spark.read.parquet(paths["segments"])
-        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
-        .select(*_SEG_COLS)
+    joined = _joined_blocks(
+        spark, paths, qterms, terms, combine, prefilter_and
     )
-    joined = segs.join(F.broadcast(qterms), "term")
 
     deleted = load_tombstones(spark, index_dir, path=paths["tombstones"])
     deleted_bc = None

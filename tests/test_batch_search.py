@@ -115,3 +115,50 @@ def test_batch_excludes_tombstones(spark, bidx):
     )
     docs = {r.doc_id for r in out.collect()}
     assert docs and not docs & tombs
+
+
+def test_conjunctive_block_prefilter(spark, bidx):
+    # AND batches prune non-rare terms' blocks to the rarest term's doc
+    # ranges BEFORE the shuffle; results are provably unchanged and the
+    # candidate block set genuinely shrinks for range-blocked head terms.
+    from pyspark.sql import functions as F2
+
+    from myaku_spark.operators.batch_search import _joined_blocks
+    from myaku_spark.plans import catalog
+
+    rows = (
+        spark.read.parquet(f"{bidx}/term_stats")
+        .groupBy("term").agg(F2.sum("df").alias("df"))
+        .orderBy(F2.desc("df"), "term").collect()
+    )
+    head, rare = rows[0].term, rows[-1].term
+    queries = [("q0", [head, rare])]
+    on = batch_search(spark, bidx, queries, k=10, combine="and")
+    off = batch_search(
+        spark, bidx, queries, k=10, combine="and", prefilter_and=False
+    )
+    s = IndexSearcher(spark, bidx, mode="myaku")
+    expect = s.search([head, rare], k=10, combine="and")
+    got_on = sorted((r.rank, r.score, r.doc_id) for r in on.collect())
+    got_off = sorted((r.rank, r.score, r.doc_id) for r in off.collect())
+    assert got_on == got_off
+    assert [(s_, d_) for _, s_, d_ in got_on] == expect
+    assert expect == s.search([head, rare], k=10, combine="and",
+                              exhaustive=True)
+
+    _, paths = catalog.resolve(bidx)
+    qdf = spark.createDataFrame(
+        [("q0", [head, rare])], "query_id string, terms array<string>"
+    )
+    qterms = qdf.select(
+        "query_id",
+        F2.size(F2.array_distinct("terms")).alias("n_terms"),
+        F2.explode(F2.array_distinct("terms")).alias("term"),
+    )
+    n_on = _joined_blocks(
+        spark, paths, qterms, [head, rare], "and", True
+    ).count()
+    n_off = _joined_blocks(
+        spark, paths, qterms, [head, rare], "and", False
+    ).count()
+    assert n_on < n_off  # head-term blocks outside the rare ranges dropped
