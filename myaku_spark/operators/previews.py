@@ -66,6 +66,59 @@ def group_positions_by_sentence(
     return list(groups.items())
 
 
+def build_sample_segments(
+    text: str,
+    sentence: tuple[int, int],
+    found_positions: list[tuple[int, int]],
+) -> list[tuple[bool, str]]:
+    """_create_sample_segments parity (article_preview.py:235-270):
+    split the sample sentence into alternating (is_query_match, text)
+    runs, lstrip the first / rstrip the last segment, then collapse
+    whitespace per segment — the isQueryMatch highlighting structure the
+    reference API serves. (The >100-char trim / short-sentence expand
+    strategies of article_preview.py:293-480 are not replicated: the
+    quality ranking prefers ≤100-char sentences, so the main sample
+    rarely triggers them.)"""
+    s_start, s_len = sentence
+    segments: list[list] = []
+    last_end = s_start
+    for p_start, p_len in sorted(found_positions):
+        if last_end != p_start:
+            seg = text[last_end:p_start]
+            segments.append([False, seg])
+            last_end += len(seg)
+        segments.append([True, text[p_start : p_start + p_len]])
+        last_end += p_len
+    end_text = text[last_end : s_start + s_len]
+    if end_text:
+        segments.append([False, end_text])
+    segments[0][1] = segments[0][1].lstrip()
+    segments[-1][1] = segments[-1][1].rstrip()
+    import re as _re
+
+    return [
+        (bool(m), _re.sub(r"\s+", "　", t)) for m, t in segments
+    ]
+
+
+def best_preview_sample(
+    text: str, positions
+) -> tuple[str, list[tuple[bool, str]]] | None:
+    """(best sentence, its match/non-match segments) — the main sample."""
+    if text is None or not positions:
+        return None
+    groups = group_positions_by_sentence(text, list(positions))
+    best = max(
+        range(len(groups)),
+        key=lambda i: (preview_quality_key(groups[i][0][1]), -i),
+    )
+    sent, in_sent = groups[best]
+    return (
+        text[sent[0] : sent[0] + sent[1]],
+        build_sample_segments(text, sent, in_sent),
+    )
+
+
 def best_preview_sentence(text: str, positions) -> str:
     """The main preview sample's sentence: quality-key argmax over all
     candidate sentences containing a match. Stable-reverse sort parity:

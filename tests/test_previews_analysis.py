@@ -189,3 +189,34 @@ def test_preview_prefers_quality_sentence_e2e(spark, gidx):
         assert r.preview == re.sub(r"\s+", "　", expect)
         verified += 1
     assert verified >= 1
+
+
+def test_sample_segments_parity():
+    # _create_sample_segments (article_preview.py:235-270): alternating
+    # match/non-match runs, first-lstrip/last-rstrip, per-segment
+    # whitespace collapse.
+    from myaku_spark.operators.previews import (
+        best_preview_sample,
+        build_sample_segments,
+    )
+
+    text = "  山賊は森に住む。山賊の憎悪だ。"
+    sent = (0, 10)  # "  山賊は森に住む。"
+    pos = [(2, 2)]  # 山賊
+    segs = build_sample_segments(text, sent, pos)
+    # The leading-whitespace segment is LSTRIPPED but kept in the list,
+    # exactly like the reference (segments[0].text = ...lstrip()).
+    assert segs == [(False, ""), (True, "山賊"), (False, "は森に住む。")]
+    # Adjacent match runs stay separate segments.
+    sent2 = (10, 7)  # "山賊の憎悪だ。"
+    segs2 = build_sample_segments(text, sent2, [(12, 1), (13, 2)])
+    assert segs2 == [
+        (False, "山賊"), (True, "の"), (True, "憎悪"), (False, "だ。")
+    ]
+    # Reassembled segments equal the sentence.
+    assert "".join(t for _, t in segs2) == "山賊の憎悪だ。"
+    # best_preview_sample returns the argmax sentence plus its segments.
+    sample = best_preview_sample(text, [(2, 2), (12, 1), (13, 2)])
+    assert sample is not None
+    sentence, segs3 = sample
+    assert "".join(t for _, t in segs3) == sentence.strip().replace("\n", "　")
