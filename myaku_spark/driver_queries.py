@@ -772,6 +772,87 @@ def q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition filters (Rae et al. appendix A):
+    duplicate-line fraction + most-common-2-gram fraction, DuckDB-
+    oracled. The sf documents are single-line, so REPETITIVE twins are
+    seeded (doc_id+200000 = the doc's 40-char prefix repeated 10 times
+    on newlines — built with engine-shared string functions) so both
+    signals take non-trivial values. The production operator
+    (textstats.repetition_signals, \\s+ tokens + slice/transform
+    shingles) is pytest-covered; the gate twin splits exactly like the
+    SQL (single-space tokens, lead windows)."""
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+    )
+    twins = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 200_000).alias("doc_id"),
+        F.repeat(
+            F.concat(F.substring("text", 1, 40), F.lit("\n")), 10
+        ).alias("text"),
+    )
+    alld = docs.unionByName(twins)
+    lines = alld.select(
+        "doc_id", F.explode(F.split("text", "\n", -1)).alias("line")
+    )
+    line_stats = lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("line").alias("n_distinct"),
+    )
+    toks = alld.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ", -1)).alias("ord", "term"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("ord")
+    grams = (
+        toks.withColumn("t2", F.lead("term", 1).over(w))
+        .filter(F.col("t2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "term", "t2").alias("gram"))
+    )
+    gram_counts = grams.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    gram_stats = gram_counts.groupBy("doc_id").agg(
+        F.max("cnt").alias("top_cnt"), F.sum("cnt").alias("n_grams")
+    )
+    return line_stats.join(gram_stats, "doc_id").select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.round(
+            (F.col("n_lines") - F.col("n_distinct")) / F.col("n_lines"), 4
+        ).alias("dup_line_frac"),
+        F.round(F.col("top_cnt") / F.col("n_grams"), 4).alias(
+            "top_2gram_frac"
+        ),
+    )
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (n-gram test-set leak check): corpus
+    docs sharing ≥5 distinct 3-token shingles with the benchmark set
+    (docs with doc_id % 41 == 0). Leak twins (doc_id+300000 = a
+    benchmark doc minus its first token) are seeded into the corpus so
+    detection is non-vacuous. Runs the PRODUCTION operator
+    (dedup.decontaminate — shingle equi-join, never all-pairs)."""
+    from myaku_spark.operators.dedup import decontaminate
+
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    benchmark = docs.filter(F.col("doc_id") % 41 == 0)
+    leaks = benchmark.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 300_000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    corpus = docs.filter(F.col("doc_id") % 41 != 0).unionByName(leaks)
+    out = decontaminate(corpus, benchmark, k=3)
+    return out.filter(F.col("n_shared") >= 5).select("doc_id", "n_shared")
+
+
 def q_lang_id(spark, sf_dir):
     """Heuristic language ID vs the labeled lang column (DuckDB-oracled:
     the script-ratio + marker-stopword heuristic is pure regex/list
@@ -1436,6 +1517,8 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
     "embedding_near_dup": q_embedding_near_dup,
+    "repetition_signals": q_repetition_signals,
+    "decontaminate": q_decontaminate,
     "lang_id": q_lang_id,
     "ja_index_postings": q_ja_index_postings,
     "extraction_parity": q_extraction_parity,
@@ -2090,4 +2173,101 @@ sums AS (
 )
 SELECT vec_a, vec_b, round(dot / (na * nb), 3) AS cos_r
 FROM sums WHERE round(dot / (na * nb), 4) >= 0.98
+"""
+
+ORACLE["repetition_signals"] = """
+WITH docs0 AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+),
+twins AS (
+  SELECT doc_id + 200000 AS doc_id,
+         repeat(substr(text, 1, 40) || chr(10), 10) AS text
+  FROM docs0 WHERE doc_id < 20
+),
+alld AS (SELECT * FROM docs0 UNION ALL SELECT * FROM twins),
+lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM alld
+),
+line_stats AS (
+  SELECT doc_id, count(*) AS n_lines,
+         count(DISTINCT line) AS n_distinct
+  FROM lines GROUP BY doc_id
+),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS ord
+  FROM alld
+),
+grams0 AS (
+  SELECT doc_id, term,
+         lead(term, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS t2
+  FROM toks
+),
+grams AS (
+  SELECT doc_id, term || ' ' || t2 AS gram FROM grams0 WHERE t2 IS NOT NULL
+),
+gram_counts AS (
+  SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY doc_id, gram
+),
+gram_stats AS (
+  SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS n_grams
+  FROM gram_counts GROUP BY doc_id
+)
+SELECT l.doc_id, CAST(l.n_lines AS BIGINT) AS n_lines,
+       round((l.n_lines - l.n_distinct) / l.n_lines, 4) AS dup_line_frac,
+       round(g.top_cnt / g.n_grams, 4) AS top_2gram_frac
+FROM line_stats l JOIN gram_stats g ON l.doc_id = g.doc_id
+"""
+
+ORACLE["decontaminate"] = """
+WITH docs0 AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+),
+bench AS (SELECT * FROM docs0 WHERE doc_id % 41 = 0),
+leaks AS (
+  SELECT doc_id + 300000 AS doc_id,
+         substr(text, instr(text, ' ') + 1) AS text
+  FROM bench WHERE doc_id < 100
+),
+corpus AS (
+  SELECT * FROM docs0 WHERE doc_id % 41 <> 0
+  UNION ALL SELECT * FROM leaks
+),
+ctoks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS ord
+  FROM corpus
+),
+csh0 AS (
+  SELECT doc_id, term,
+         lead(term, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS t2,
+         lead(term, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS t3
+  FROM ctoks
+),
+csh AS (
+  SELECT DISTINCT doc_id, term || ' ' || t2 || ' ' || t3 AS shingle
+  FROM csh0 WHERE t3 IS NOT NULL
+),
+btoks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS ord
+  FROM bench
+),
+bsh0 AS (
+  SELECT doc_id, term,
+         lead(term, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS t2,
+         lead(term, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS t3
+  FROM btoks
+),
+bsh AS (
+  SELECT DISTINCT term || ' ' || t2 || ' ' || t3 AS shingle
+  FROM bsh0 WHERE t3 IS NOT NULL
+),
+shared AS (
+  SELECT c.doc_id, count(*) AS n_shared
+  FROM csh c JOIN bsh b ON c.shingle = b.shingle
+  GROUP BY c.doc_id
+)
+SELECT doc_id, CAST(n_shared AS BIGINT) AS n_shared
+FROM shared WHERE n_shared >= 5
 """

@@ -248,3 +248,27 @@ def simhash_near_dups(
     return pairs.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming
     ).select("doc_a", "doc_b", "hamming")
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination for training corpora: per corpus doc,
+    the number of distinct k-token shingles it shares with ANY benchmark
+    document (the standard n-gram-overlap test-set leak check). Pure
+    equi-join on the shingle key — the benchmark side is a distinct
+    shingle set, the join is hash-partitioned by shingle, and the
+    per-doc overlap count is one aggregation; nothing is driver-side,
+    so a 10^12-doc corpus against a million-doc benchmark is the same
+    plan."""
+    c = shingles(corpus, text_col, id_col, k)
+    b = shingles(benchmark, text_col, id_col, k).select("shingle").distinct()
+    return (
+        c.join(b, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )

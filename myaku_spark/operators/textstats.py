@@ -162,3 +162,56 @@ def rolling_fingerprint(
     return g.groupBy("doc_id", F.pmod(F.col("gh"), F.lit(4)).alias("band")).agg(
         F.min("gh").alias("fp")
     )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. appendix A): the
+    duplicate-line fraction and the most-common-2-gram fraction —
+    documents dominated by repeated lines or a single bigram are
+    boilerplate/spam in a pre-training corpus.
+
+    All JVM-side: lines explode from a newline split; 2-grams from the
+    slice/transform shingle construction (no Python, no driver state);
+    one groupBy(doc) aggregation each — partitioned by doc_id, never
+    hot."""
+    text = F.col(text_col)
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(text, "\n")).alias("line"),
+    )
+    line_stats = lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("line").alias("n_distinct_lines"),
+    )
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(split({text_col},"
+                f" '\\\\s+')) - 1, 0)), i -> concat_ws(' ',"
+                f" slice(split({text_col}, '\\\\s+'), i, 2)))"
+            )
+        ).alias("gram"),
+    ).filter(F.length("gram") > 0)
+    gram_counts = grams.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    gram_stats = gram_counts.groupBy("doc_id").agg(
+        F.max("cnt").alias("top_gram_cnt"),
+        F.sum("cnt").alias("n_grams"),
+    )
+    return line_stats.join(gram_stats, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.round(
+            (F.col("n_lines") - F.col("n_distinct_lines"))
+            / F.col("n_lines"),
+            4,
+        ).alias("dup_line_frac"),
+        F.round(
+            F.coalesce(F.col("top_gram_cnt") / F.col("n_grams"), F.lit(0.0)),
+            4,
+        ).alias("top_2gram_frac"),
+    )

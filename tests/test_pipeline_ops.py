@@ -246,3 +246,42 @@ def test_resize_images_stub(spark):
         resized.withColumn("kind", F.lit("image"))
     ).collect()
     assert all(len(r.feature) == 64 for r in chained)
+
+
+def test_repetition_signals(spark):
+    # Gopher repetition filters: dup-line fraction + top-2-gram fraction.
+    from myaku_spark.operators.textstats import repetition_signals
+
+    rows = [
+        (1, "a b c\na b c\na b c"),
+        (2, "x y z w"),
+        (3, "t t t t t t"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert out[1].n_lines == 3
+    assert out[1].dup_line_frac == round(2 / 3, 4)
+    # tokens: a b c a b c a b c → 2-grams a b:3, b c:3, c a:2 → 3/8
+    assert out[1].top_2gram_frac == round(3 / 8, 4)
+    assert out[2].dup_line_frac == 0.0
+    assert out[3].top_2gram_frac == 1.0  # 't t' is every 2-gram
+
+
+def test_decontaminate(spark):
+    from myaku_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "quick brown fox jumps over the fence"),  # shares shingles
+            (2, "completely unrelated text with no overlap at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.n_shared for r in decontaminate(corpus, bench, k=3).collect()}
+    # 'quick brown fox', 'brown fox jumps', 'fox jumps over', 'jumps over the'
+    assert out[1] == 4
+    assert 2 not in out  # zero overlap → not emitted

@@ -167,3 +167,42 @@ def test_watermarked_window_drops_late_data(spark, tmp_path):
     assert rows.get(base + dt.timedelta(minutes=10)) == 1
     # The 12:20 window is still open (watermark == its end) → not emitted.
     assert (base + dt.timedelta(minutes=20)) not in rows
+
+
+def test_stateful_dedup_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState cross-batch exact dedup: a content hash
+    seen in micro-batch 1 is dropped when re-delivered in micro-batch 2
+    (group state), within-batch duplicates keep the smallest doc_id, and
+    the surviving set equals the batch first-writer-wins twin."""
+    from myaku_spark.streaming.stateful_dedup import dedup_stream
+
+    land = str(tmp_path / "dd_landing")
+    ckpt = str(tmp_path / "dd_ckpt")
+    out = str(tmp_path / "dd_out")
+    schema = "doc_id long, text_hash string"
+
+    # Batch 1: hashes A, B (B duplicated in-batch: docs 2 and 3).
+    b1 = [(1, "A"), (2, "B"), (3, "B")]
+    # Batch 2: A re-delivered (doc 4), new hash C.
+    b2 = [(4, "A"), (5, "C")]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(land)
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(land)
+        q = (
+            dedup_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+
+    drain()
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(land)
+    drain()
+
+    rows = {r.text_hash: r.doc_id for r in spark.read.parquet(out).collect()}
+    assert rows == {"A": 1, "B": 2, "C": 5}
