@@ -421,6 +421,24 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return pairs
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Near-dup dedup stage 3: candidate pairs → duplicate CLUSTERS via
+    distributed connected components (alternating large-star/small-star,
+    dedup.connected_components — per-round hash shuffles, no driver
+    graph). cluster_id = min doc_id of the component; cluster_size gives
+    the retention decision (keep cluster_id, drop size-1 ... n-1 rest).
+    Oracle: DuckDB recursive min-label propagation over the same pairs."""
+    from myaku_spark.operators.dedup import connected_components
+
+    cc = connected_components(q_minhash_lsh_pairs(spark, sf_dir))
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return cc.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """Near-dup dedup: exact n-gram (shingle) Jaccard over a doc sample
     SEEDED with near-duplicate twins (doc_id+100000 = the doc with its
@@ -1487,6 +1505,98 @@ def q_tpch_top_suppliers(spark, sf_dir):
     )
 
 
+# Weighted-sampling gate parameters (shared literals on both sides).
+WS_RATES = {"src0": 0.9, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+WS_DEFAULT = 0.05
+WS_SALT = "gate"
+
+PACK_MAX = 200  # token budget per packed training sequence
+
+
+def q_pii_redaction(spark, sf_dir):
+    """PII scrub: detection counts + redacted-text digest. The synthetic
+    corpus has no PII, so both sides SEED it identically (doc_id-derived
+    emails / dotted quads / phone numbers appended to doc_id<200) — the
+    regexes and the replacement then have real work to disagree on."""
+    from myaku_spark.operators.textstats import pii_signals, redact_pii
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    did = F.col("doc_id")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    did.cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (did % 256).cast("string"),
+                    F.lit(".7 today"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" call 555-01"),
+                    F.lpad((did % 10).cast("string"), 1, "0"),
+                    F.lit("-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    sig = pii_signals(seeded)
+    red = redact_pii(seeded).select(
+        "doc_id", F.md5(F.col("redacted")).alias("redacted_md5")
+    )
+    return sig.join(red, "doc_id").select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "redacted_md5"
+    )
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Corpus mixing: deterministic per-source Bernoulli sample (md5
+    hash-threshold draw). The output IS the sampled id set — any engine
+    drawing differently fails the hash, so the check is exact, not
+    statistical."""
+    from myaku_spark.operators.textstats import weighted_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    return weighted_sample(
+        docs, WS_RATES, salt=WS_SALT, default_rate=WS_DEFAULT
+    )
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Training-sequence packing: longest-first next-fit into PACK_MAX
+    token budgets within doc_id%8 shards (the parallel unit). Oracle
+    replays the fold as a recursive CTE."""
+    from myaku_spark.operators.packing import pack_sequences
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0)
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    sharded = toks.withColumn(
+        "shard", F.pmod(F.col("doc_id"), F.lit(8)).cast("long")
+    )
+    return pack_sequences(sharded, PACK_MAX, order="length").select(
+        "shard", "doc_id", "n_tokens", "seq_id", "seq_fill"
+    )
+
+
 QUERIES = {
     "token_positions": q_token_positions,
     "postings_build": q_postings_build,
@@ -1508,6 +1618,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "minhash_signature": q_minhash_signature,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "dup_clusters": q_dup_clusters,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "embedding_topk": q_embedding_topk,
     "ivf_topk": q_ivf_topk,
@@ -1519,6 +1630,9 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "repetition_signals": q_repetition_signals,
     "decontaminate": q_decontaminate,
+    "pii_redaction": q_pii_redaction,
+    "weighted_sample": q_weighted_sample,
+    "pack_sequences": q_pack_sequences,
     "lang_id": q_lang_id,
     "ja_index_postings": q_ja_index_postings,
     "extraction_parity": q_extraction_parity,
@@ -2270,4 +2384,91 @@ shared AS (
 )
 SELECT doc_id, CAST(n_shared AS BIGINT) AS n_shared
 FROM shared WHERE n_shared >= 5
+"""
+
+ORACLE["dup_clusters"] = f"""
+WITH RECURSIVE pairs AS (
+{ORACLE["minhash_lsh_pairs"]}
+),
+sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS node FROM sym),
+reach(node, lab) AS (
+  SELECT node, node AS lab FROM nodes
+  UNION
+  SELECT s.u AS node, r.lab FROM sym s JOIN reach r ON s.v = r.node
+  WHERE r.lab < s.u
+),
+cc AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node),
+sizes AS (SELECT cluster_id, count(*) AS n FROM cc GROUP BY cluster_id)
+SELECT doc_id, cluster_id, CAST(n AS BIGINT) AS cluster_size
+FROM cc JOIN sizes USING (cluster_id)
+"""
+
+from myaku_spark.operators.textstats import PII_PATTERNS  # noqa: E402
+
+ORACLE["pii_redaction"] = f"""
+WITH seeded AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || doc_id || '@example.com now'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' from 10.0.' || (doc_id % 256) || '.7 today'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' call 555-01' || (doc_id % 10) || '-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS text
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_PATTERNS["email"]}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '{PII_PATTERNS["ipv4"]}')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '{PII_PATTERNS["phone"]}')) AS BIGINT) AS n_phone,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '{PII_PATTERNS["email"]}', '<PII>', 'g'),
+           '{PII_PATTERNS["ipv4"]}', '<PII>', 'g'),
+           '{PII_PATTERNS["phone"]}', '<PII>', 'g')) AS redacted_md5
+FROM seeded
+"""
+
+ORACLE["weighted_sample"] = f"""
+SELECT doc_id, source FROM documents
+WHERE CAST('0x' || substr(md5(doc_id || ':{WS_SALT}'), 1, 14) AS BIGINT)
+      / 72057594037927936.0
+    < CASE source
+        WHEN 'src0' THEN 0.9 WHEN 'src1' THEN 0.5
+        WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.1
+        ELSE 0.05 END
+"""
+
+ORACLE["pack_sequences"] = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0))
+              AS BIGINT) AS n_tokens
+  FROM documents
+),
+ordered AS (
+  SELECT doc_id % 8 AS shard, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY doc_id % 8
+                            ORDER BY n_tokens DESC, doc_id) AS rn
+  FROM toks
+),
+pack(shard, rn, doc_id, n_tokens, seq_id, seq_fill) AS (
+  SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+         CASE WHEN p.seq_fill + o.n_tokens > {PACK_MAX}
+              THEN p.seq_id + 1 ELSE p.seq_id END,
+         CASE WHEN p.seq_fill + o.n_tokens > {PACK_MAX}
+              THEN o.n_tokens ELSE p.seq_fill + o.n_tokens END
+  FROM ordered o JOIN pack p ON o.shard = p.shard AND o.rn = p.rn + 1
+)
+SELECT shard, doc_id, n_tokens, seq_id, seq_fill FROM pack
 """

@@ -14,6 +14,9 @@ this module provides both, all as shuffle-aware DataFrame programs:
 - simhash                64-bit simhash + hamming-band near-dup buckets
 - embedding_near_dup     cosine-threshold pairs via LSH on random
                          hyperplanes (similarity.py provides ANN top-k)
+- connected_components   candidate pairs → duplicate clusters
+                         (alternating large-star/small-star), the
+                         retention stage after any pair generator
 
 Skew/scale notes: the LSH self-join key is (band, bucket); buckets with
 pathological populations (boilerplate-heavy corpora) are capped by
@@ -248,6 +251,92 @@ def simhash_near_dups(
     return pairs.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming
     ).select("doc_a", "doc_b", "hamming")
+
+
+def _canon_edges(edges: DataFrame) -> DataFrame:
+    """Canonical undirected edge set: (u, v) with u > v, no self loops."""
+    return (
+        edges.filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
+    sym = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("_mv"))
+    mins = mins.select("u", F.least("u", F.col("_mv")).alias("m"))
+    return _canon_edges(
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Connect u and all its smaller neighbors to their min (edges are
+    canonical (big, small) so groupBy(u) sees exactly N≤(u))."""
+    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+    e1 = (
+        edges.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    e2 = mins.select("u", F.col("m").alias("v"))
+    return _canon_edges(e1.unionByName(e2))
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Duplicate clustering: undirected near-dup pairs → (doc_id,
+    cluster_id) where cluster_id = min doc_id of the connected component.
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond"): each round is two hash
+    shuffles (a groupBy-min and a key join) with NO driver-side graph
+    state, and converges in O(log² n) rounds on adversarial graphs —
+    near-dup clusters (dense, tiny diameter) converge in 2-3. Lineage
+    is truncated per round with localCheckpoint, so the plan does not
+    grow with iterations. This is the stage that turns LSH/SimHash
+    candidate pairs into retention decisions (keep cluster_id, drop the
+    rest); singletons never enter `pairs` and are implicitly kept.
+    """
+    edges = _canon_edges(
+        pairs.select(
+            F.col(id_a).cast("long").alias("u"),
+            F.col(id_b).cast("long").alias("v"),
+        )
+    ).localCheckpoint(eager=True)
+    prev_sig = None
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        sig = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.hash("u", "v").cast("long")).alias("h"),
+        ).collect()[0]
+        sig = (sig["n"], sig["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # Fixed point is a star forest: (member, root) plus implicit roots.
+    members = edges.select(
+        F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
+    )
+    roots = (
+        edges.select(F.col("v").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    return members.unionByName(roots).distinct()
 
 
 def decontaminate(

@@ -215,3 +215,98 @@ def repetition_signals(
             4,
         ).alias("top_2gram_frac"),
     )
+
+
+# --- PII detection / redaction ----------------------------------------------
+
+# Patterns are deliberately RE2-compatible (no backrefs/lookaround) so the
+# DuckDB oracle can run them verbatim; Java and RE2 agree on these.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+}
+# Redaction applies in this fixed order (emails can embed dotted quads).
+PII_ORDER = ["email", "ipv4", "phone"]
+
+
+def pii_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc PII match counts (emails, IPv4s, NANP-style phone numbers)
+    — the pre-training scrub signal. Pure Catalyst regexp_count: scales
+    as a projection, no shuffle at all."""
+    text = F.col(text_col)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        *[
+            F.regexp_count(text, F.lit(PII_PATTERNS[k])).cast("long").alias(
+                f"n_{k}"
+            )
+            for k in PII_ORDER
+        ],
+    )
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "redacted",
+    token: str = "<PII>",
+) -> DataFrame:
+    """Replace every PII match with ``token`` (fixed pattern order so the
+    result is deterministic). Projection-only like pii_signals."""
+    out = F.col(text_col)
+    for k in PII_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[k], token)
+    return df.withColumn(out_col, out)
+
+
+# --- deterministic weighted sampling -----------------------------------------
+
+
+def uniform_hash(key: Column, salt: str) -> Column:
+    """Deterministic uniform in [0,1) from md5(key || ':' || salt).
+
+    md5 rather than xxhash64 so the draw is reproducible across engines
+    (the DuckDB oracle replays the identical arithmetic); still a JVM
+    codegen expression. 56 bits of the digest → double mantissa-exact."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(key.cast("string"), F.lit(":" + salt))), 1, 14
+        ),
+        16,
+        10,
+    )
+    return h.cast("double") / float(1 << 56)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "s0",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-domain Bernoulli sampling for corpus mixing: keep a row iff
+    uniform_hash(key) < weight(domain). Stateless and deterministic —
+    re-running, resuming, or changing partitioning never changes the
+    sample, and upweighting a domain later keeps the earlier draw as a
+    strict subset (the hash threshold property). A filter-only plan:
+    pushes past scans, no shuffle, identical at any scale."""
+    u = uniform_hash(F.col(key_col), salt)
+    rate = None
+    for dom, w in sorted(weights.items()):
+        cond = F.col(domain_col) == dom
+        rate = (
+            F.when(cond, F.lit(float(w)))
+            if rate is None
+            else rate.when(cond, F.lit(float(w)))
+        )
+    rate = (
+        rate.otherwise(F.lit(float(default_rate)))
+        if rate is not None
+        else F.lit(float(default_rate))
+    )
+    return df.filter(u < rate)

@@ -285,3 +285,126 @@ def test_decontaminate(spark):
     # 'quick brown fox', 'brown fox jumps', 'fox jumps over', 'jumps over the'
     assert out[1] == 4
     assert 2 not in out  # zero overlap → not emitted
+
+
+def test_connected_components_clusters(spark):
+    from myaku_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4, triangle 10-11-12 (+ redundant edge), pair 20-21
+    pairs = spark.createDataFrame(
+        [
+            (2, 1), (2, 3), (4, 3),
+            (10, 11), (11, 12), (10, 12),
+            (21, 20),
+        ],
+        ["doc_a", "doc_b"],
+    )
+    out = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert out == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_connected_components_random_vs_union_find(spark):
+    import random
+
+    from myaku_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    n = 120
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(90)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {x for e in edges for x in e}
+    expected = {x: find(x) for x in touched}
+
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    out = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert out == expected
+
+
+def test_pii_signals_and_redaction(spark):
+    from myaku_spark.operators.textstats import pii_signals, redact_pii
+
+    rows = [
+        (1, "mail me at a.b+c@example.co.uk or root@10.2.3.4 soon"),
+        (2, "server 192.168.0.1 and 8.8.8.8 call 555-123-4567"),
+        (3, "nothing sensitive here at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sig = {r.doc_id: r for r in pii_signals(df).collect()}
+    # root@10.2.3.4 is NOT an email (no alpha TLD) but IS a dotted quad
+    assert (sig[1].n_email, sig[1].n_ipv4, sig[1].n_phone) == (1, 1, 0)
+    assert (sig[2].n_email, sig[2].n_ipv4, sig[2].n_phone) == (0, 2, 1)
+    assert (sig[3].n_email, sig[3].n_ipv4, sig[3].n_phone) == (0, 0, 0)
+    red = {r.doc_id: r.redacted for r in redact_pii(df).collect()}
+    assert red[1] == "mail me at <PII> or root@<PII> soon"
+    assert red[2] == "server <PII> and <PII> call <PII>"
+    assert red[3] == rows[2][1]
+
+
+def test_weighted_sample_deterministic_and_nested(spark):
+    from myaku_spark.operators.textstats import weighted_sample
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 4).cast("string")).alias(
+            "source"
+        ),
+    )
+    lo = {"src0": 0.2, "src1": 0.5, "src2": 0.0, "src3": 1.0}
+    hi = {"src0": 0.6, "src1": 0.5, "src2": 0.0, "src3": 1.0}
+    s_lo = {r.doc_id for r in weighted_sample(df, lo, salt="t").collect()}
+    s_lo2 = {r.doc_id for r in weighted_sample(df, lo, salt="t").collect()}
+    s_hi = {r.doc_id for r in weighted_sample(df, hi, salt="t").collect()}
+    assert s_lo == s_lo2  # deterministic
+    assert s_lo <= s_hi  # raising a rate only adds rows
+    # rate-0 domain drops everything; rate-1 domain keeps everything
+    assert not any(d % 4 == 2 for d in s_hi)
+    assert sum(1 for d in s_hi if d % 4 == 3) == 500
+    # empirical rates near nominal (500 draws per domain)
+    n0 = sum(1 for d in s_hi if d % 4 == 0)
+    assert 240 <= n0 <= 360  # 0.6 ± generous tolerance
+
+
+def test_pack_sequences_invariants(spark):
+    from myaku_spark.operators.packing import pack_sequences
+
+    rows = [
+        (0, 1, 120), (0, 2, 90), (0, 3, 80), (0, 4, 30), (0, 5, 300),
+        (1, 6, 50), (1, 7, 50), (1, 8, 50),
+    ]
+    df = spark.createDataFrame(rows, ["shard", "doc_id", "n_tokens"])
+    out = pack_sequences(df, 200, order="length").collect()
+    by_doc = {r.doc_id: r for r in out}
+    # longest-first: 300 alone (oversize), then 120+80=200, then 90+30
+    assert by_doc[5].seq_id != by_doc[1].seq_id
+    seqs = {}
+    for r in out:
+        seqs.setdefault((r.shard, r.seq_id), []).append(r.n_tokens)
+    for (shard, _), lens in seqs.items():
+        assert sum(lens) <= 200 or len(lens) == 1  # only oversize overflows
+    # next-fit longest-first: 300 | 120 (90 won't fit after it) | 90+80+30
+    assert seqs[(0, by_doc[1].seq_id)] == [120]
+    assert sorted(seqs[(0, by_doc[2].seq_id)]) == [30, 80, 90]
+    assert sorted(seqs[(1, by_doc[6].seq_id)]) == [50, 50, 50]
+    # id order: 120,90 → (1,2) then 80,30 fills to 110 → (3,4), 300 alone
+    out_id = {r.doc_id: r.seq_id for r in pack_sequences(df, 250, order="id").collect()}
+    assert out_id[1] == out_id[2] and out_id[3] == out_id[4]
+    assert out_id[5] not in (out_id[1], out_id[3])
