@@ -1597,6 +1597,103 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+KM_K = 8  # k-means gate: clusters
+KM_ITERS = 3  # full Lloyd update rounds before the final assignment
+
+
+def q_kmeans_clusters(spark, sf_dir):
+    """Embedding clustering for data curation: Lloyd's k-means, k=8,
+    3 update rounds, deterministic init (lowest vec_ids). Vectors are
+    int-scaled (round(x*1000)) on BOTH sides so every centroid mean is
+    an exact integer ratio — the only cross-engine float noise left is
+    the 64-term distance sum, ~1e-12 relative, far below any argmin
+    boundary. Oracle: the same Lloyd rounds unrolled as SQL CTEs."""
+    from myaku_spark.operators.similarity import kmeans_assign, kmeans_fit
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1000, 0),
+        ).alias("embedding"),
+    )
+    cents = kmeans_fit(emb, k=KM_K, iters=KM_ITERS)
+    asg = kmeans_assign(emb, cents)
+    sizes = asg.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return asg.join(sizes, "cluster").select(
+        "vec_id", "cluster", "cluster_size"
+    )
+
+
+def _kmeans_sql(k: int, iters: int) -> str:
+    """Lloyd's k-means unrolled as CTEs (assignment a_i/m_i, update
+    u_i/c_{i+1}); mirrors kmeans_fit exactly, incl. empty-cluster
+    carry-over and lowest-cluster tie-break."""
+    parts = [
+        f"""
+e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000))
+           AS v
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl,
+         v AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    for i in range(iters + 1):
+        parts.append(
+            f""",
+a{i} AS (
+  SELECT vec_id, cl, sum((x - y) * (x - y)) AS dist
+  FROM (SELECT e.vec_id, c.cl, unnest(e.v) AS x, unnest(c.cv) AS y
+        FROM e CROSS JOIN c{i} c)
+  GROUP BY vec_id, cl
+),
+m{i} AS (
+  SELECT vec_id, cl FROM (
+    SELECT vec_id, cl,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+    FROM a{i})
+  WHERE rn = 1
+)"""
+        )
+        if i < iters:
+            parts.append(
+                f""",
+u{i} AS (
+  SELECT m.cl, t.pos, avg(t.val) AS val
+  FROM m{i} m JOIN (
+    SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS pos
+    FROM e
+  ) t USING (vec_id)
+  GROUP BY m.cl, t.pos
+),
+c{i + 1} AS (
+  SELECT p.cl,
+         CASE WHEN count(u.val) = 0 THEN p.cv
+              ELSE list(u.val ORDER BY u.pos) END AS cv
+  FROM c{i} p LEFT JOIN u{i} u ON u.cl = p.cl
+  GROUP BY p.cl, p.cv
+)"""
+            )
+    parts.append(
+        f""",
+sizes AS (
+  SELECT cl, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM m{iters} GROUP BY cl
+)
+SELECT m.vec_id, m.cl AS cluster, s.cluster_size
+FROM m{iters} m JOIN sizes s USING (cl)
+"""
+    )
+    return "WITH " + "".join(parts)
+
+
 QUERIES = {
     "token_positions": q_token_positions,
     "postings_build": q_postings_build,
@@ -1633,6 +1730,7 @@ QUERIES = {
     "pii_redaction": q_pii_redaction,
     "weighted_sample": q_weighted_sample,
     "pack_sequences": q_pack_sequences,
+    "kmeans_clusters": q_kmeans_clusters,
     "lang_id": q_lang_id,
     "ja_index_postings": q_ja_index_postings,
     "extraction_parity": q_extraction_parity,
@@ -2472,3 +2570,5 @@ pack(shard, rn, doc_id, n_tokens, seq_id, seq_fill) AS (
 )
 SELECT shard, doc_id, n_tokens, seq_id, seq_fill FROM pack
 """
+
+ORACLE["kmeans_clusters"] = _kmeans_sql(KM_K, KM_ITERS)

@@ -219,3 +219,111 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+# --- k-means clustering -------------------------------------------------------
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Lloyd's k-means over an embedding column → (k × dim) float64
+    centroids. The training-data use: cluster-based curation (diversity
+    sampling, per-cluster quotas, pruning degenerate clusters).
+
+    Scale shape: centroids broadcast each round; assignment + per-
+    partition partial sums run in ONE mapInPandas pass (the map-side
+    combine — each partition ships k rows of (cluster, count, sum-vec),
+    never n rows), then a k×dim-sized aggregation lands on the driver
+    for the update. Rounds are O(scan) with no row-level shuffle at all.
+    Deterministic: init = the k lowest-id vectors; empty clusters keep
+    their previous centroid; ties in the argmin break to the lowest
+    cluster id.
+    """
+    import numpy as np
+
+    spark = emb.sparkSession
+    data = emb.select(id_col, vec_col).persist()
+    init = data.orderBy(id_col).limit(k).collect()
+    cents = np.array([list(r[vec_col]) for r in init], dtype=np.float64)
+
+    def make_partials(bc):
+        def partials(it):
+            import pandas as pd
+
+            C = bc.value
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                a = d.argmin(axis=1)
+                rows = [
+                    (int(cl), int((a == cl).sum()),
+                     X[a == cl].sum(axis=0).tolist())
+                    for cl in np.unique(a)
+                ]
+                yield pd.DataFrame(rows, columns=["cl", "n", "s"])
+
+        return partials
+
+    schema = "cl int, n long, s array<double>"
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(cents)
+        part = data.mapInPandas(make_partials(bc), schema).persist()
+        counts = {r.cl: r.n for r in part.groupBy("cl").agg(
+            F.sum("n").alias("n")).collect()}
+        dims = (
+            part.select("cl", F.posexplode("s").alias("pos", "val"))
+            .groupBy("cl", "pos")
+            .agg(F.sum("val").alias("s"))
+            .collect()
+        )
+        part.unpersist()
+        sums = np.zeros_like(cents)
+        for r in dims:
+            sums[r.cl, r.pos] = r.s
+        for cl, n in counts.items():
+            if n > 0:
+                cents[cl] = sums[cl] / n
+        bc.destroy()
+    data.unpersist()
+    return cents
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cluster) under fixed centroids — one broadcast + one
+    mapInPandas projection, no shuffle."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    C = np.asarray(centroids, dtype=np.float64)
+    bc = spark.sparkContext.broadcast(C)
+
+    def assign(it):
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            d = ((X[:, None, :] - bc.value[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "cluster": d.argmin(axis=1).astype("int64"),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} long, cluster long"
+    )

@@ -408,3 +408,44 @@ def test_pack_sequences_invariants(spark):
     out_id = {r.doc_id: r.seq_id for r in pack_sequences(df, 250, order="id").collect()}
     assert out_id[1] == out_id[2] and out_id[3] == out_id[4]
     assert out_id[5] not in (out_id[1], out_id[3])
+
+
+def test_kmeans_matches_numpy_twin(spark):
+    import numpy as np
+
+    from myaku_spark.operators.similarity import kmeans_assign, kmeans_fit
+
+    rng = np.random.RandomState(3)
+    # three well-separated blobs in 8-d
+    X = np.vstack(
+        [
+            rng.randn(40, 8) + np.array([10.0] * 8),
+            rng.randn(40, 8) - np.array([10.0] * 8),
+            rng.randn(40, 8) + np.array([10, -10] * 4, dtype=float),
+        ]
+    ).round(3)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    k, iters = 3, 4
+    cents = kmeans_fit(df, k=k, iters=iters)
+
+    # numpy twin: identical init (lowest ids), update, tie-break rules
+    C = X[:k].astype(np.float64).copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for cl in range(k):
+            if (a == cl).any():
+                C[cl] = X[a == cl].mean(axis=0)
+    assert np.allclose(cents, C, rtol=1e-12, atol=1e-9)
+
+    out = {r.vec_id: r.cluster for r in kmeans_assign(df, cents).collect()}
+    d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    expected = d.argmin(axis=1)
+    assert all(out[i] == expected[i] for i in range(len(X)))
+    # blobs recovered: each true blob lands in one cluster
+    assert len({out[i] for i in range(40)}) == 1
+    assert len({out[i] for i in range(40, 80)}) == 1
+    assert len({out[i] for i in range(80, 120)}) == 1
