@@ -177,16 +177,18 @@ def main() -> None:
     batch_sec = time.time() - t0
     timings["wand_batch_128q"] = round(batch_sec, 3)
     batch_qps = round(n_q / batch_sec, 1) if batch_sec > 0 else 0.0
-    # Same batch WITHOUT the conjunctive rare-range block prefilter: the
-    # prefilter is a fixed per-batch metadata pass that buys a smaller
-    # candidate-blob shuffle — a win that grows with posting-list size,
-    # so both paths are reported (results are identical; tested).
+    # Same batch with the conjunctive rare-range block prefilter FORCED
+    # on (the default "auto" gate keeps it off below
+    # PREFILTER_MIN_SEGMENT_BYTES, where its fixed metadata stages cost
+    # more than the blob shuffle they avoid — which is the case at bench
+    # scale). Reported to track the fixed cost; results are identical
+    # (tested prefiltered == unfiltered == exhaustive).
     t0 = time.time()
     batch_search(
         spark, idx_dir, batch_queries, k=10, combine="and",
-        prefilter_and=False,
+        prefilter_and=True,
     ).count()
-    timings["wand_batch_128q_noprefilter"] = round(time.time() - t0, 3)
+    timings["wand_batch_128q_prefilter"] = round(time.time() - t0, 3)
 
     shutil.rmtree(idx_dir, ignore_errors=True)
     pages.unpersist()

@@ -137,7 +137,6 @@ def _joined_blocks(
     the intersection. The rare ranges come off a metadata-only scan
     (blob column pruned) and broadcast back; results are provably
     unchanged (tests assert prefiltered == unfiltered == exhaustive)."""
-    from pyspark.sql import Window
     from myaku_spark.functions.xxh import term_bucket
     from myaku_spark.operators.segments import N_BUCKETS
 
@@ -148,26 +147,19 @@ def _joined_blocks(
     joined = base.select(*_SEG_COLS).join(F.broadcast(qterms), "term")
     if combine != "and" or not prefilter_and:
         return joined
-    # Metadata-only pass: total postings per (query, term) → rarest term
-    # per query → its block ranges, broadcast back as a per-query array.
+    # Metadata-only pass (blob column pruned): per (query, term) gather
+    # total postings + block ranges in one aggregation, then min_by picks
+    # the rarest term's ranges per query — two small shuffles, no window,
+    # no join back against the metadata.
     meta = base.select("term", "n_postings", "min_doc", "max_doc").join(
         F.broadcast(qterms.select("query_id", "term")), "term"
     )
-    tp = meta.groupBy("query_id", "term").agg(
-        F.sum("n_postings").alias("tp")
+    qt = meta.groupBy("query_id", "term").agg(
+        F.sum("n_postings").alias("tp"),
+        F.collect_list(F.struct("min_doc", "max_doc")).alias("ranges"),
     )
-    w = Window.partitionBy("query_id").orderBy("tp", "term")
-    rare_terms = (
-        tp.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("query_id", "term")
-    )
-    rare_ranges = (
-        meta.join(F.broadcast(rare_terms), ["query_id", "term"])
-        .groupBy("query_id")
-        .agg(
-            F.collect_list(F.struct("min_doc", "max_doc")).alias("_ranges")
-        )
+    rare_ranges = qt.groupBy("query_id").agg(
+        F.min_by("ranges", F.struct("tp", "term")).alias("_ranges")
     )
     return (
         joined.join(F.broadcast(rare_ranges), "query_id", "left")
@@ -182,6 +174,34 @@ def _joined_blocks(
     )
 
 
+# Below this segment footprint the prefilter's fixed stages (metadata
+# scan + two small shuffles) cost more than the blob shuffle they avoid;
+# above it the avoided shuffle grows with posting-list size while the
+# fixed cost stays flat. 256 MB ≈ the point where one head term's blobs
+# outweigh the metadata pass on a 32-core box.
+PREFILTER_MIN_SEGMENT_BYTES = 256 * 1024 * 1024
+
+
+def _segments_at_least(path: str, threshold: int) -> bool:
+    """Early-exit local-dir size probe; non-local stores (no listable
+    dir) assume large — at real cluster scale the prefilter always pays."""
+    import os
+
+    if not os.path.isdir(path):
+        return True
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    continue
+                if total >= threshold:
+                    return True
+    return False
+
+
 def batch_search(
     spark: SparkSession,
     index_dir: str,
@@ -189,18 +209,26 @@ def batch_search(
     k: int = 10,
     combine: str = "and",
     mode: str = "myaku",
-    prefilter_and: bool = True,
+    prefilter_and="auto",
 ) -> DataFrame:
     """Top-k per query for a batch of queries; returns
     (query_id, rank, doc_id, score).
 
     ``queries``: list[(query_id, [terms])] or a DataFrame with columns
     (query_id string, terms array<string>). Terms are width-normalized
-    with the same P6 function the index applies (symmetry contract)."""
+    with the same P6 function the index applies (symmetry contract).
+    ``prefilter_and``: True/False force the conjunctive block prefilter;
+    "auto" (default) enables it only when the segment footprint is big
+    enough that the avoided blob shuffle beats the prefilter's fixed
+    stage cost."""
     from myaku_spark.plans import catalog
     from myaku_spark.plans.incremental import load_tombstones
 
     _, paths = catalog.resolve(index_dir)
+    if prefilter_and == "auto":
+        prefilter_and = _segments_at_least(
+            paths["segments"], PREFILTER_MIN_SEGMENT_BYTES
+        )
     if not isinstance(queries, DataFrame):
         queries = spark.createDataFrame(
             [

@@ -133,7 +133,9 @@ def test_conjunctive_block_prefilter(spark, bidx):
     )
     head, rare = rows[0].term, rows[-1].term
     queries = [("q0", [head, rare])]
-    on = batch_search(spark, bidx, queries, k=10, combine="and")
+    on = batch_search(
+        spark, bidx, queries, k=10, combine="and", prefilter_and=True
+    )
     off = batch_search(
         spark, bidx, queries, k=10, combine="and", prefilter_and=False
     )
