@@ -1627,10 +1627,12 @@ def q_kmeans_clusters(spark, sf_dir):
     )
 
 
-def _kmeans_sql(k: int, iters: int) -> str:
+def _kmeans_prefix(k: int, iters: int) -> str:
     """Lloyd's k-means unrolled as CTEs (assignment a_i/m_i, update
     u_i/c_{i+1}); mirrors kmeans_fit exactly, incl. empty-cluster
-    carry-over and lowest-cluster tie-break."""
+    carry-over and lowest-cluster tie-break. Returns the WITH-chain up
+    to the final assignment m{iters} so multiple oracles can build on
+    the same clustering."""
     parts = [
         f"""
 e AS (
@@ -1681,8 +1683,13 @@ c{i + 1} AS (
   GROUP BY p.cl, p.cv
 )"""
             )
-    parts.append(
-        f""",
+    return "WITH " + "".join(parts)
+
+
+def _kmeans_sql(k: int, iters: int) -> str:
+    return (
+        _kmeans_prefix(k, iters)
+        + f""",
 sizes AS (
   SELECT cl, CAST(count(*) AS BIGINT) AS cluster_size
   FROM m{iters} GROUP BY cl
@@ -1691,7 +1698,68 @@ SELECT m.vec_id, m.cl AS cluster, s.cluster_size
 FROM m{iters} m JOIN sizes s USING (cl)
 """
     )
-    return "WITH " + "".join(parts)
+
+
+CS_QUOTA = 40  # cluster-sample gate: max rows kept per cluster
+CS_SALT = "cs0"
+
+
+def q_cluster_sample(spark, sf_dir):
+    """Cluster-balanced diversity sampling (D4/SemDeDup-style): the
+    same deterministic Lloyd clustering as kmeans_clusters, then at
+    most CS_QUOTA rows per cluster chosen by the engine-independent
+    md5 uniform draw — head clusters capped, tail clusters whole."""
+    from myaku_spark.operators.similarity import (
+        cluster_sample,
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1000, 0),
+        ).alias("embedding"),
+    )
+    cents = kmeans_fit(emb, k=KM_K, iters=KM_ITERS)
+    asg = kmeans_assign(emb, cents)
+    return cluster_sample(asg, quota=CS_QUOTA, salt=CS_SALT)
+
+
+LM_K = 0.5  # add-k smoothing constant for the bigram LM gate
+
+
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality scoring: train a bigram add-k LM on the
+    corpus, score every doc's avg token log-prob + perplexity. All
+    Catalyst (tokenize, bigram explode, count joins); floats rounded
+    at 3dp with identical expression shapes on both engines."""
+    from myaku_spark.operators.lm import perplexity, train_bigram_lm
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bigrams, contexts, vocab = train_bigram_lm(docs)
+    return perplexity(docs, bigrams, contexts, vocab, k=LM_K)
+
+
+BP_MIN_DOCS = 5  # shingle doc-frequency at which it counts as boilerplate
+BP_MAX_RATIO = 0.1  # keep a doc iff its boilerplate-shingle ratio is below
+
+
+def q_boilerplate(spark, sf_dir):
+    """Cross-doc boilerplate detection: 3-token shingles appearing in
+    >= BP_MIN_DOCS distinct docs are boilerplate; per-doc ratio +
+    keep flag (CCNet paragraph-hash idea at n-gram granularity). The
+    0.1 keep threshold sits between the corpus p90 (0.065) and max
+    (0.27) so both flag branches are exercised."""
+    from myaku_spark.operators.dedup import boilerplate_ngrams
+
+    return boilerplate_ngrams(
+        _docs(spark, sf_dir),
+        k=3,
+        min_docs=BP_MIN_DOCS,
+        max_ratio=BP_MAX_RATIO,
+    )
 
 
 QUERIES = {
@@ -1731,6 +1799,9 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "pack_sequences": q_pack_sequences,
     "kmeans_clusters": q_kmeans_clusters,
+    "cluster_sample": q_cluster_sample,
+    "lm_perplexity": q_lm_perplexity,
+    "boilerplate": q_boilerplate,
     "lang_id": q_lang_id,
     "ja_index_postings": q_ja_index_postings,
     "extraction_parity": q_extraction_parity,
@@ -2572,3 +2643,81 @@ SELECT shard, doc_id, n_tokens, seq_id, seq_fill FROM pack
 """
 
 ORACLE["kmeans_clusters"] = _kmeans_sql(KM_K, KM_ITERS)
+
+ORACLE["cluster_sample"] = (
+    _kmeans_prefix(KM_K, KM_ITERS)
+    + f""",
+draw AS (
+  SELECT vec_id, cl AS cluster,
+         CAST('0x' || substr(md5(vec_id || ':{CS_SALT}'), 1, 14) AS BIGINT)
+           / 72057594037927936.0 AS u
+  FROM m{KM_ITERS}
+)
+SELECT vec_id, cluster, pick FROM (
+  SELECT vec_id, cluster,
+         CAST(row_number() OVER (
+           PARTITION BY cluster ORDER BY u, vec_id) AS INTEGER) AS pick
+  FROM draw)
+WHERE pick <= {CS_QUOTA}
+"""
+)
+
+ORACLE["lm_perplexity"] = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_prepend('<s>', list_filter(
+           regexp_split_to_array(lower(text), '\\s+'),
+           x -> x <> '')) AS t
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id,
+         unnest(list_transform(range(2, len(t) + 1), j -> t[j - 1])) AS w1,
+         unnest(list_transform(range(2, len(t) + 1), j -> t[j])) AS w2
+  FROM tok
+),
+big AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+ctx AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1),
+voc AS (SELECT count(DISTINCT w2) AS v FROM pairs)
+SELECT p.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(ln((b.c12 + {LM_K}) / (c.c1 + {LM_K} * voc.v))), 3)
+         AS avg_logprob,
+       round(exp(-avg(ln((b.c12 + {LM_K}) / (c.c1 + {LM_K} * voc.v)))), 3)
+         AS ppl
+FROM pairs p
+JOIN big b USING (w1, w2)
+JOIN ctx c USING (w1)
+CROSS JOIN voc
+GROUP BY p.doc_id
+"""
+
+ORACLE["boilerplate"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS ord
+  FROM documents
+),
+sh0 AS (
+  SELECT doc_id, term,
+         lead(term, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS t2,
+         lead(term, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS t3
+  FROM toks
+),
+sh AS (
+  SELECT DISTINCT doc_id, term || ' ' || t2 || ' ' || t3 AS shingle
+  FROM sh0 WHERE t3 IS NOT NULL
+),
+freq AS (SELECT shingle, count(*) AS doc_freq FROM sh GROUP BY 1),
+fl AS (
+  SELECT s.doc_id,
+         CASE WHEN f.doc_freq >= {BP_MIN_DOCS} THEN 1 ELSE 0 END AS b
+  FROM sh s JOIN freq f USING (shingle)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(b) AS BIGINT) AS n_boiler,
+       round(sum(b) * 1.0 / count(*), 6) AS boiler_ratio,
+       sum(b) * 1.0 / count(*) < {BP_MAX_RATIO} AS keep
+FROM fl GROUP BY doc_id
+"""

@@ -361,3 +361,43 @@ def decontaminate(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
     )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    k: int = 3,
+    min_docs: int = 5,
+    max_ratio: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document boilerplate detection (the CCNet paragraph-hash
+    idea at n-gram granularity): a k-token shingle appearing in >=
+    ``min_docs`` DISTINCT docs is boilerplate (nav bars, footers,
+    licence blurbs); per doc report total distinct shingles, how many
+    are boilerplate, the ratio, and a keep flag (ratio < max_ratio).
+
+    Scale shape: shingles() is already distinct-per-doc, so the
+    doc-frequency count is one groupBy(shingle) aggregation with
+    map-side combine; the flag rides back on a shuffle equi-join on the
+    shingle key and the per-doc rollup is a second aggregation. No
+    driver state, no windows — the same plan at 10^12 docs, with AQE
+    splitting the genuinely-hot boilerplate shingles."""
+    sh = shingles(df, text_col, id_col, k)
+    freq = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+    flagged = sh.join(freq, "shingle").select(
+        "doc_id",
+        (F.col("doc_freq") >= min_docs).cast("int").alias("is_boiler"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum("is_boiler").cast("long").alias("n_boiler"),
+        F.round(F.sum("is_boiler") / F.count(F.lit(1)), 6).alias(
+            "boiler_ratio"
+        ),
+        (
+            F.sum("is_boiler") / F.count(F.lit(1)) < float(max_ratio)
+        ).alias("keep"),
+    )

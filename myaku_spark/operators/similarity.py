@@ -327,3 +327,32 @@ def kmeans_assign(
     return emb.select(id_col, vec_col).mapInPandas(
         assign, f"{id_col} long, cluster long"
     )
+
+
+def cluster_sample(
+    asg: DataFrame,
+    quota: int,
+    salt: str = "cs0",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cluster-balanced sampling for training-data curation: keep at
+    most ``quota`` rows per cluster, chosen by a deterministic uniform
+    hash (the D4/SemDeDup-style diversity step — head clusters are
+    capped, tail clusters survive whole).
+
+    The rank window partitions BY CLUSTER, so no partition exceeds the
+    largest cluster; the hash draw is the same engine-independent
+    md5 recipe as weighted_sample (re-runs and resumes pick the same
+    sample, and raising the quota keeps the old sample as a subset
+    because per-cluster hash order is stable)."""
+    from pyspark.sql import Window
+
+    from myaku_spark.operators.textstats import uniform_hash
+
+    u = uniform_hash(F.col(id_col), salt)
+    w = Window.partitionBy("cluster").orderBy(u.asc(), F.col(id_col))
+    return (
+        asg.withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") <= quota)
+        .select(id_col, "cluster", "pick")
+    )

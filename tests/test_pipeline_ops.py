@@ -449,3 +449,89 @@ def test_kmeans_matches_numpy_twin(spark):
     assert len({out[i] for i in range(40)}) == 1
     assert len({out[i] for i in range(40, 80)}) == 1
     assert len({out[i] for i in range(80, 120)}) == 1
+
+
+def test_bigram_lm_matches_python_twin(spark):
+    import math
+
+    from myaku_spark.operators.lm import perplexity, train_bigram_lm
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ran"),
+        (3, "a dog sat"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    bigrams, contexts, vocab = train_bigram_lm(df)
+    out = {r.doc_id: r for r in perplexity(df, bigrams, contexts, vocab, k=0.5).collect()}
+
+    # pure-python twin
+    big, ctx, voc = {}, {}, set()
+    toks = {d: ["<s>"] + t.split() for d, t in docs}
+    for t in toks.values():
+        for w1, w2 in zip(t, t[1:]):
+            big[(w1, w2)] = big.get((w1, w2), 0) + 1
+            ctx[w1] = ctx.get(w1, 0) + 1
+            voc.add(w2)
+    V = len(voc)
+    for d, t in toks.items():
+        lps = [
+            math.log((big[(w1, w2)] + 0.5) / (ctx[w1] + 0.5 * V))
+            for w1, w2 in zip(t, t[1:])
+        ]
+        avg = sum(lps) / len(lps)
+        assert out[d].n_bigrams == len(lps)
+        assert abs(out[d].avg_logprob - round(avg, 3)) < 1e-9
+        assert abs(out[d].ppl - round(math.exp(-avg), 3)) < 1e-9
+
+    # unseen bigrams/contexts hit the smoothing floor (coalesce-0 path)
+    new = spark.createDataFrame([(9, "zebra quark cat")], "doc_id long, text string")
+    r = perplexity(new, bigrams, contexts, vocab, k=0.5).collect()[0]
+    floor = math.log(0.5 / (0.5 * V))
+    assert r.n_bigrams == 3
+    # first bigram (<s>, zebra): seen context, unseen word
+    exp = (math.log(0.5 / (ctx["<s>"] + 0.5 * V)) + 2 * floor) / 3
+    assert abs(r.avg_logprob - round(exp, 3)) < 1e-9
+
+
+def test_boilerplate_ngrams_flags_and_threshold(spark):
+    from myaku_spark.operators.dedup import boilerplate_ngrams
+
+    boiler = "copyright acme corp"
+    docs = [(i, f"{boiler} unique{i} words{i} here{i}") for i in range(5)]
+    docs.append((99, "totally fresh text with no repeats at all"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in boilerplate_ngrams(
+        df, k=3, min_docs=5, max_ratio=0.3).collect()}
+    for i in range(5):
+        assert out[i].n_boiler == 1  # exactly the shared shingle
+        assert out[i].n_shingles == 4
+        assert abs(out[i].boiler_ratio - 0.25) < 1e-9
+        assert out[i].keep  # 0.25 < 0.3
+    assert out[99].n_boiler == 0 and out[99].keep
+    strict = {r.doc_id: r.keep for r in boilerplate_ngrams(
+        df, k=3, min_docs=5, max_ratio=0.2).collect()}
+    assert not strict[0] and strict[99]
+
+
+def test_cluster_sample_quota_and_subset(spark):
+    from myaku_spark.operators.similarity import cluster_sample
+
+    rows = [(i, i % 3 if i < 90 else 3) for i in range(95)]  # cluster 3 tiny
+    asg = spark.createDataFrame(rows, "vec_id long, cluster long")
+    out = cluster_sample(asg, quota=10, salt="t")
+    by_cl = {}
+    for r in out.collect():
+        by_cl.setdefault(r.cluster, set()).add(r.vec_id)
+    assert all(len(v) == 10 for c, v in by_cl.items() if c < 3)
+    assert len(by_cl[3]) == 5  # tail cluster survives whole
+    # monotone: raising the quota keeps the old sample as a subset
+    big = {}
+    for r in cluster_sample(asg, quota=20, salt="t").collect():
+        big.setdefault(r.cluster, set()).add(r.vec_id)
+    for c in by_cl:
+        assert by_cl[c] <= big[c]
+    # deterministic under repartitioning
+    again = {(r.vec_id, r.cluster, r.pick)
+             for r in cluster_sample(asg.repartition(7), quota=10, salt="t").collect()}
+    assert again == {(r.vec_id, r.cluster, r.pick) for r in out.collect()}
