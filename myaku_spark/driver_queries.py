@@ -1762,6 +1762,41 @@ def q_boilerplate(spark, sf_dir):
     )
 
 
+PHRASE = ["slow", "hash", "batch"]  # phrase gate: 8 occurrences in 5 docs
+PHRASE_K = 10
+
+
+def q_phrase_search(spark, sf_dir):
+    """Positional phrase search end-to-end THROUGH the segment codec:
+    whitespace postings with (start, len) positions → build_segments
+    (delta+varint block encode) → decode_postings → position
+    chain-match (gap=1 for the space separator) → top-k by phrase_tf.
+    The oracle replays the adjacency join relationally over the same
+    token offsets."""
+    from myaku_spark.operators.phrase import phrase_match, decode_postings
+    from myaku_spark.operators.segments import build_segments
+
+    toks = _tokens(spark, sf_dir)
+    postings = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("int").alias("tf"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("start").cast("int").alias("start"),
+                    F.col("len").cast("int").alias("len"),
+                )
+            )
+        ).alias("positions"),
+    ).withColumn("score", F.col("tf"))
+    segs = build_segments(postings, payload_col="score")
+    dec = decode_postings(
+        segs.filter(F.col("term").isin(PHRASE))
+    )
+    return phrase_match(dec, PHRASE, gap=1).orderBy(
+        F.desc("phrase_tf"), "doc_id"
+    ).limit(PHRASE_K)
+
+
 QUERIES = {
     "token_positions": q_token_positions,
     "postings_build": q_postings_build,
@@ -1802,6 +1837,7 @@ QUERIES = {
     "cluster_sample": q_cluster_sample,
     "lm_perplexity": q_lm_perplexity,
     "boilerplate": q_boilerplate,
+    "phrase_search": q_phrase_search,
     "lang_id": q_lang_id,
     "ja_index_postings": q_ja_index_postings,
     "extraction_parity": q_extraction_parity,
@@ -2643,6 +2679,27 @@ SELECT shard, doc_id, n_tokens, seq_id, seq_fill FROM pack
 """
 
 ORACLE["kmeans_clusters"] = _kmeans_sql(KM_K, KM_ITERS)
+
+ORACLE["phrase_search"] = f"""
+WITH {_SQL_TOKS},
+t0 AS (SELECT doc_id, start, start + len AS e FROM toks
+       WHERE term = '{PHRASE[0]}'),
+t1 AS (SELECT doc_id, start, start + len AS e FROM toks
+       WHERE term = '{PHRASE[1]}'),
+t2 AS (SELECT doc_id, start, start + len AS e FROM toks
+       WHERE term = '{PHRASE[2]}'),
+m AS (
+  SELECT t0.doc_id, t0.start AS head
+  FROM t0
+  JOIN t1 ON t1.doc_id = t0.doc_id AND t1.start = t0.e + 1
+  JOIN t2 ON t2.doc_id = t0.doc_id AND t2.start = t1.e + 1
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS phrase_tf,
+       list(head ORDER BY head) AS match_starts
+FROM m GROUP BY doc_id
+ORDER BY phrase_tf DESC, doc_id
+LIMIT {PHRASE_K}
+"""
 
 ORACLE["cluster_sample"] = (
     _kmeans_prefix(KM_K, KM_ITERS)

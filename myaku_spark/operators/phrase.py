@@ -1,0 +1,137 @@
+"""Positional phrase search over posting segments.
+
+The segments already carry per-posting (start, len) position lists
+(codec.py stores them delta+varint compressed exactly for this); phrase
+evaluation is the standard positional-intersection: join the phrase
+terms' postings on doc_id, then chain-match positions so each next term
+starts where the previous one ended (+ a separator ``gap`` — 1 for
+space-separated corpora, 0 for Japanese text, mirroring how the
+reference's found-lexical-item positions are raw char offsets,
+myaku/datatypes.py ArticleTextPosition).
+
+Scale shape: segment reads prune by bucket partition + parquet term
+pushdown, so only the phrase's terms are scanned; block decode is one
+mapInPandas pass; the doc_id equi-joins shrink left-to-right (every
+join intersects with another term's doc set) and the position
+chain-match is pure Catalyst HOFs (map_from_arrays + try_element_at
+inside transform/filter) — no Python touches a position after decode.
+Top-k is orderBy().limit() = TakeOrderedAndProject, never a global
+window.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+POSTINGS_SCHEMA = (
+    "term string, doc_id long, tf long, starts array<int>, lens array<int>"
+)
+
+
+def decode_postings(segments: DataFrame, deleted=None) -> DataFrame:
+    """Segment block rows → (term, doc_id, tf, starts, lens) postings.
+
+    ``deleted``: optional broadcast of a SORTED int64 doc_id array;
+    tombstoned docs are dropped with a vectorized np.isin at decode."""
+
+    def gen(it):
+        from myaku_spark.operators.codec import decode_block
+
+        for pdf in it:
+            out = {"term": [], "doc_id": [], "tf": [], "starts": [], "lens": []}
+            for term, blob in zip(pdf["term"], pdf["blob"]):
+                dec = decode_block(bytes(blob))
+                ids = dec["doc_ids"].astype(np.int64)
+                keep = np.ones(ids.size, dtype=bool)
+                if deleted is not None and deleted.value.size:
+                    keep = ~np.isin(ids, deleted.value, assume_unique=False)
+                pos = dec.get("positions") or [[]] * ids.size
+                for j in np.nonzero(keep)[0]:
+                    plist = pos[j]
+                    out["term"].append(term)
+                    out["doc_id"].append(int(ids[j]))
+                    out["tf"].append(int(dec["tfs"][j]))
+                    out["starts"].append([int(s) for s, _ in plist])
+                    out["lens"].append([int(ln) for _, ln in plist])
+            yield pd.DataFrame(out)
+
+    return segments.select("term", "blob").mapInPandas(gen, POSTINGS_SCHEMA)
+
+
+def phrase_match(postings: DataFrame, terms: list[str], gap: int = 0) -> DataFrame:
+    """(doc_id, phrase_tf, match_starts) for docs containing the exact
+    term sequence with positional adjacency (next.start == prev.end +
+    gap). Candidate chains survive overlapping occurrences and repeated
+    phrase terms (each step re-probes that term's own position map)."""
+    steps = []
+    for i, t in enumerate(terms):
+        steps.append(
+            postings.filter(F.col("term") == t).select(
+                "doc_id",
+                F.col("starts").alias(f"s{i}"),
+                F.col("lens").alias(f"l{i}"),
+            )
+        )
+    cur = steps[0].select(
+        "doc_id",
+        F.expr(
+            "transform(arrays_zip(s0, l0),"
+            " p -> named_struct('head', p.s0, 'end', p.s0 + p.l0))"
+        ).alias("cand"),
+    )
+    for i in range(1, len(terms)):
+        cur = (
+            cur.join(steps[i], "doc_id")
+            .select(
+                "doc_id",
+                F.expr(
+                    f"""filter(
+                      transform(cand, c -> named_struct(
+                        'head', c.head,
+                        'end', c.end + {gap} + try_element_at(
+                          map_from_arrays(s{i}, l{i}), c.end + {gap}))),
+                      c -> c.end IS NOT NULL)"""
+                ).alias("cand"),
+            )
+            .filter(F.size("cand") > 0)
+        )
+    return cur.select(
+        "doc_id",
+        F.size("cand").cast("long").alias("phrase_tf"),
+        F.expr("transform(cand, c -> c.head)").alias("match_starts"),
+    )
+
+
+def phrase_search(
+    spark: SparkSession,
+    source,
+    terms: list[str],
+    k: int = 10,
+    gap: int = 0,
+) -> DataFrame:
+    """Top-k docs for an exact phrase; ``source`` is an index_dir (reads
+    the catalog-resolved segments + tombstones) or a segments DataFrame.
+    Ranked by phrase_tf desc, doc_id asc via TakeOrderedAndProject."""
+    deleted_bc = None
+    if isinstance(source, DataFrame):
+        segments = source.filter(F.col("term").isin(list(terms)))
+    else:
+        from myaku_spark.operators.segments import read_term_segments
+        from myaku_spark.plans import catalog
+        from myaku_spark.plans.incremental import load_tombstones
+
+        _, paths = catalog.resolve(source)
+        segments = read_term_segments(spark, paths["segments"], list(terms))
+        deleted = load_tombstones(spark, source, path=paths["tombstones"])
+        if deleted:
+            arr = np.sort(
+                np.fromiter(deleted, dtype=np.int64, count=len(deleted))
+            )
+            deleted_bc = spark.sparkContext.broadcast(arr)
+    postings = decode_postings(segments, deleted=deleted_bc)
+    return phrase_match(postings, terms, gap=gap).orderBy(
+        F.desc("phrase_tf"), "doc_id"
+    ).limit(k)

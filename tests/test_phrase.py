@@ -1,0 +1,175 @@
+"""Positional phrase search: codec round-trip + adjacency semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from myaku_spark.functions.tokenize import explode_whitespace_tokens
+from myaku_spark.operators.phrase import (
+    decode_postings,
+    phrase_match,
+    phrase_search,
+)
+from myaku_spark.operators.segments import build_segments
+
+
+def _segments_for(spark, docs):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    toks = explode_whitespace_tokens(df)
+    postings = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("int").alias("tf"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("start").cast("int").alias("start"),
+                    F.col("len").cast("int").alias("len"),
+                )
+            )
+        ).alias("positions"),
+    ).withColumn("score", F.col("tf"))
+    return build_segments(postings, payload_col="score")
+
+
+def _brute(docs, phrase):
+    """Char-offset twin: every token index where the phrase starts."""
+    out = {}
+    for doc_id, text in docs:
+        toks, pos, off = [], [], 0
+        for w in text.split(" "):
+            toks.append(w)
+            pos.append(off)
+            off += len(w) + 1
+        heads = [
+            pos[i]
+            for i in range(len(toks) - len(phrase) + 1)
+            if toks[i : i + len(phrase)] == phrase
+        ]
+        if heads:
+            out[doc_id] = heads
+    return out
+
+
+DOCS = [
+    (1, "a b a b a"),          # overlapping "a b a" at heads 0 and 4
+    (2, "x a b a y a b"),      # one full match, one partial tail
+    (3, "a a b a"),            # repeated leading term
+    (4, "b a b"),              # phrase never starts
+    (5, "a b c d e"),          # no second "a"
+]
+
+
+def test_phrase_overlaps_and_repeats(spark):
+    segs = _segments_for(spark, DOCS)
+    phrase = ["a", "b", "a"]
+    got = {
+        r.doc_id: list(r.match_starts)
+        for r in phrase_search(spark, segs, phrase, k=10, gap=1).collect()
+    }
+    assert got == _brute(DOCS, phrase)
+    # two-term phrase, including docs where only the bigram matches
+    got2 = {
+        r.doc_id: list(r.match_starts)
+        for r in phrase_search(spark, segs, ["a", "b"], k=10, gap=1).collect()
+    }
+    assert got2 == _brute(DOCS, ["a", "b"])
+
+
+def test_phrase_missing_term_empty(spark):
+    segs = _segments_for(spark, DOCS)
+    assert phrase_search(spark, segs, ["a", "zzz"], k=10, gap=1).count() == 0
+
+
+def test_phrase_rank_and_k(spark):
+    segs = _segments_for(spark, DOCS)
+    rows = phrase_search(spark, segs, ["a", "b"], k=2, gap=1).collect()
+    expect = _brute(DOCS, ["a", "b"])
+    ranked = sorted(expect.items(), key=lambda kv: (-len(kv[1]), kv[0]))[:2]
+    assert [(r.doc_id, r.phrase_tf) for r in rows] == [
+        (d, len(h)) for d, h in ranked
+    ]
+
+
+def test_phrase_gap0_no_separator(spark):
+    # Japanese-style adjacency: positions abut exactly (gap=0).
+    postings = spark.createDataFrame(
+        [
+            ("猫", 1, 1, [0], [1]),
+            ("好き", 1, 1, [1], [2]),   # 猫好き at 0..3
+            ("猫", 2, 1, [0], [1]),
+            ("好き", 2, 1, [5], [2]),   # not adjacent
+        ],
+        "term string, doc_id long, tf long, starts array<int>, lens array<int>",
+    )
+    got = {r.doc_id: list(r.match_starts)
+           for r in phrase_match(postings, ["猫", "好き"], gap=0).collect()}
+    assert got == {1: [0]}
+
+
+def test_decode_postings_roundtrip(spark):
+    segs = _segments_for(spark, DOCS)
+    dec = decode_postings(segs)
+    toks = explode_whitespace_tokens(
+        spark.createDataFrame(DOCS, "doc_id long, text string")
+    )
+    expect = {
+        (r.term, r.doc_id): sorted(zip(r.starts, r.lens))
+        for r in toks.groupBy("term", "doc_id").agg(
+            F.collect_list("start").alias("starts"),
+            F.collect_list("len").alias("lens"),
+        ).collect()
+    }
+    got = {
+        (r.term, r.doc_id): sorted(zip(r.starts, r.lens))
+        for r in dec.collect()
+    }
+    assert got == expect
+
+
+def test_phrase_on_ja_index_dir(spark, tmp_path):
+    """index_dir branch: catalog-resolved segments, gap=0 adjacency on a
+    real Japanese index; brute-force twin over the decoded postings."""
+    from myaku_spark.plans import catalog
+    from myaku_spark.plans.build_index import build_index
+    from myaku_spark.sources.pages import synth_pages_df
+
+    d = str(tmp_path / "pidx")
+    build_index(
+        spark, synth_pages_df(spark, 30, partitions=2), d,
+        n_groups=1, now="2026-08-01 00:00:00",
+        head_df_threshold=16, block_doc_range=16,
+    )
+    _, paths = catalog.resolve(d)
+    dec = decode_postings(spark.read.parquet(paths["segments"])).collect()
+    occ = {}  # doc_id -> list[(start, len, term)]
+    for r in dec:
+        for s, ln in zip(r.starts, r.lens):
+            occ.setdefault(r.doc_id, []).append((s, ln, r.term))
+    # pick an adjacent (gap=0) pair of distinct terms from the data
+    phrase = None
+    for entries in occ.values():
+        by_start = sorted(entries)
+        for s, ln, t in by_start:
+            for s2, ln2, t2 in by_start:
+                if s2 == s + ln and t2 != t:
+                    phrase = [t, t2]
+                    break
+            if phrase:
+                break
+        if phrase:
+            break
+    assert phrase, "no adjacent term pair in the synth index"
+    expect = {}
+    for doc, entries in occ.items():
+        starts_of = {}
+        for s, ln, t in entries:
+            starts_of.setdefault(t, []).append((s, ln))
+        heads = sorted(
+            s for s, ln in starts_of.get(phrase[0], [])
+            if any(s2 == s + ln for s2, _ in starts_of.get(phrase[1], []))
+        )
+        if heads:
+            expect[doc] = heads
+    got = {
+        r.doc_id: list(r.match_starts)
+        for r in phrase_search(spark, d, phrase, k=100, gap=0).collect()
+    }
+    assert got == expect and got
