@@ -105,16 +105,56 @@ def phrase_match(postings: DataFrame, terms: list[str], gap: int = 0) -> DataFra
     )
 
 
+# Skip range pruning when the rarest phrase term itself has more blocks
+# than this — the ranges stop being driver-sized and the prune stops
+# buying anything (an all-head-term phrase intersects everywhere).
+MAX_RANGE_BLOCKS = 4096
+
+
+def _prune_blocks_to_rarest(segments: DataFrame) -> DataFrame:
+    """Conjunctive block prune: any doc matching the whole phrase
+    appears in the RAREST term's postings, so blocks of the other terms
+    whose [min_doc, max_doc] overlaps none of the rare term's block
+    ranges cannot contribute. Metadata-only driver action (<= n_terms
+    rows) picks the rare term; its ranges prune via a broadcast
+    nested-loop LEFT SEMI join (no duplicate blocks, no giant OR
+    predicate). At 10^12 docs this is what keeps a head term's decode
+    bounded by the intersection's neighborhood, not its posting list."""
+    stats = segments.groupBy("term").agg(
+        F.sum("n_postings").alias("tp"), F.count(F.lit(1)).alias("nb")
+    ).collect()
+    if len(stats) < 2:
+        return segments
+    rare = min(stats, key=lambda r: (r.tp, r.term))
+    if rare.nb > MAX_RANGE_BLOCKS:
+        return segments
+    ranges = (
+        segments.filter(F.col("term") == rare.term)
+        .select(
+            F.col("min_doc").alias("r_min"), F.col("max_doc").alias("r_max")
+        )
+    )
+    return segments.join(
+        F.broadcast(ranges),
+        (F.col("min_doc") <= F.col("r_max"))
+        & (F.col("max_doc") >= F.col("r_min")),
+        "leftsemi",
+    )
+
+
 def phrase_search(
     spark: SparkSession,
     source,
     terms: list[str],
     k: int = 10,
     gap: int = 0,
+    prune: bool = True,
 ) -> DataFrame:
     """Top-k docs for an exact phrase; ``source`` is an index_dir (reads
     the catalog-resolved segments + tombstones) or a segments DataFrame.
-    Ranked by phrase_tf desc, doc_id asc via TakeOrderedAndProject."""
+    Ranked by phrase_tf desc, doc_id asc via TakeOrderedAndProject.
+    ``prune`` (index_dir path only) applies the rarest-term block-range
+    prune before decode; results are provably unchanged (tested)."""
     deleted_bc = None
     if isinstance(source, DataFrame):
         segments = source.filter(F.col("term").isin(list(terms)))
@@ -125,6 +165,8 @@ def phrase_search(
 
         _, paths = catalog.resolve(source)
         segments = read_term_segments(spark, paths["segments"], list(terms))
+        if prune:
+            segments = _prune_blocks_to_rarest(segments)
         deleted = load_tombstones(spark, source, path=paths["tombstones"])
         if deleted:
             arr = np.sort(

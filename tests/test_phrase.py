@@ -173,3 +173,11 @@ def test_phrase_on_ja_index_dir(spark, tmp_path):
         for r in phrase_search(spark, d, phrase, k=100, gap=0).collect()
     }
     assert got == expect and got
+    # rarest-term block-range prune is provably result-neutral
+    unpruned = {
+        r.doc_id: list(r.match_starts)
+        for r in phrase_search(
+            spark, d, phrase, k=100, gap=0, prune=False
+        ).collect()
+    }
+    assert unpruned == got
