@@ -36,6 +36,10 @@ BENCH_QUERIES = [
     "embedding_topk",
     "events_windowed",
     "token_counts",
+    "lm_perplexity",
+    "boilerplate",
+    "kmeans_clusters",
+    "phrase_search",
 ]
 
 

@@ -1776,7 +1776,7 @@ def q_phrase_search(spark, sf_dir):
     from myaku_spark.operators.phrase import phrase_match, decode_postings
     from myaku_spark.operators.segments import build_segments
 
-    toks = _tokens(spark, sf_dir)
+    toks = _tokens(spark, sf_dir).filter(F.col("term").isin(PHRASE))
     postings = toks.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("int").alias("tf"),
         F.array_sort(
@@ -1787,11 +1787,10 @@ def q_phrase_search(spark, sf_dir):
                 )
             )
         ).alias("positions"),
-    ).withColumn("score", F.col("tf"))
+    ).withColumn("score", F.col("tf")).persist()
+    # (persist: build_segments reads postings twice — term stats + rows)
     segs = build_segments(postings, payload_col="score")
-    dec = decode_postings(
-        segs.filter(F.col("term").isin(PHRASE))
-    )
+    dec = decode_postings(segs.filter(F.col("term").isin(PHRASE)))
     return phrase_match(dec, PHRASE, gap=1).orderBy(
         F.desc("phrase_tf"), "doc_id"
     ).limit(PHRASE_K)

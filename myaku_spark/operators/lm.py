@@ -39,10 +39,16 @@ def _tokens(text_col: str) -> Column:
 def _bigram_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(doc_id, w1, w2) — one row per adjacent token pair, BOS-anchored.
 
-    sequence() is guarded: Spark's sequence(2, 1) would count DOWN, so
-    docs with no tokens (array == [BOS]) must map to an empty pair list.
+    The token array is materialized in its own projection FIRST:
+    element_at inside a lambda would otherwise re-evaluate the whole
+    split per element (quadratic per doc). sequence() is guarded:
+    Spark's sequence(2, 1) would count DOWN, so docs with no tokens
+    (array == [BOS]) must map to an empty pair list.
     """
-    t = _tokens(text_col)
+    base = df.select(
+        F.col(id_col).alias("doc_id"), _tokens(text_col).alias("t")
+    )
+    t = F.col("t")
     n = F.size(t)
     idx = F.when(n >= 2, F.sequence(F.lit(2), n)).otherwise(
         F.array().cast("array<int>")
@@ -54,9 +60,9 @@ def _bigram_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.element_at(t, i).alias("w2"),
         ),
     )
-    return df.select(
-        F.col(id_col).alias("doc_id"), F.explode(pairs).alias("p")
-    ).select("doc_id", "p.w1", "p.w2")
+    return base.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
+    )
 
 
 def train_bigram_lm(

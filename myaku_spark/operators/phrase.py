@@ -65,43 +65,71 @@ def phrase_match(postings: DataFrame, terms: list[str], gap: int = 0) -> DataFra
     """(doc_id, phrase_tf, match_starts) for docs containing the exact
     term sequence with positional adjacency (next.start == prev.end +
     gap). Candidate chains survive overlapping occurrences and repeated
-    phrase terms (each step re-probes that term's own position map)."""
-    steps = []
-    for i, t in enumerate(terms):
-        steps.append(
-            postings.filter(F.col("term") == t).select(
-                "doc_id",
-                F.col("starts").alias(f"s{i}"),
-                F.col("lens").alias(f"l{i}"),
-            )
+    phrase terms (each step re-probes that term's own position map).
+
+    Shape: ONE groupBy(doc_id) pivots the phrase terms' postings into a
+    per-doc term→positions map, then the whole chain-match is a single
+    projection of Catalyst HOFs over that row — no per-term self-joins,
+    no branch recomputation of the postings lineage, one shuffle whose
+    volume is exactly the phrase terms' postings."""
+    tm = (
+        postings.filter(F.col("term").isin(list(terms)))
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        F.col("term"),
+                        F.struct(
+                            F.col("starts").alias("starts"),
+                            F.col("lens").alias("lens"),
+                        ).alias("pos"),
+                    )
+                )
+            ).alias("tm")
         )
-    cur = steps[0].select(
-        "doc_id",
-        F.expr(
-            "transform(arrays_zip(s0, l0),"
-            " p -> named_struct('head', p.s0, 'end', p.s0 + p.l0))"
-        ).alias("cand"),
     )
-    for i in range(1, len(terms)):
-        cur = (
-            cur.join(steps[i], "doc_id")
-            .select(
-                "doc_id",
-                F.expr(
-                    f"""filter(
-                      transform(cand, c -> named_struct(
-                        'head', c.head,
-                        'end', c.end + {gap} + try_element_at(
-                          map_from_arrays(s{i}, l{i}), c.end + {gap}))),
-                      c -> c.end IS NOT NULL)"""
-                ).alias("cand"),
-            )
-            .filter(F.size("cand") > 0)
+    # Conjunctive contract: every phrase term must occur in the doc.
+    present = None
+    for t in set(terms):
+        c = F.col("tm").getItem(t).isNotNull()
+        present = c if present is None else (present & c)
+    tm = tm.filter(present)
+    t0 = F.col("tm").getItem(terms[0])
+    cand = F.zip_with(
+        t0.getField("starts"),
+        t0.getField("lens"),
+        lambda a, b: F.struct(a.alias("head"), (a + b).alias("end")),
+    )
+    for t in terms[1:]:
+        ti = F.col("tm").getItem(t)
+        pos_map = F.map_from_arrays(ti.getField("starts"), ti.getField("lens"))
+        cand = F.filter(
+            F.transform(
+                cand,
+                lambda c: F.struct(
+                    c.getField("head").alias("head"),
+                    (
+                        c.getField("end")
+                        + F.lit(gap)
+                        + F.try_element_at(
+                            pos_map, c.getField("end") + F.lit(gap)
+                        )
+                    ).alias("end"),
+                ),
+            ),
+            lambda c: c.getField("end").isNotNull(),
         )
-    return cur.select(
-        "doc_id",
-        F.size("cand").cast("long").alias("phrase_tf"),
-        F.expr("transform(cand, c -> c.head)").alias("match_starts"),
+    return (
+        tm.select("doc_id", cand.alias("cand"))
+        .filter(F.size("cand") > 0)
+        .select(
+            "doc_id",
+            F.size("cand").cast("long").alias("phrase_tf"),
+            F.transform(F.col("cand"), lambda c: c.getField("head")).alias(
+                "match_starts"
+            ),
+        )
     )
 
 
