@@ -1738,8 +1738,8 @@ def q_lm_perplexity(spark, sf_dir):
     from myaku_spark.operators.lm import perplexity, train_bigram_lm
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    bigrams, contexts, vocab = train_bigram_lm(docs)
-    return perplexity(docs, bigrams, contexts, vocab, k=LM_K)
+    lm = train_bigram_lm(docs)  # eager fit; model cached until released
+    return perplexity(docs, lm, k=LM_K)
 
 
 BP_MIN_DOCS = 5  # shingle doc-frequency at which it counts as boilerplate
@@ -1790,10 +1790,20 @@ def q_phrase_search(spark, sf_dir):
     ).withColumn("score", F.col("tf")).persist()
     # (persist: build_segments reads postings twice — term stats + rows)
     segs = build_segments(postings, payload_col="score")
-    dec = decode_postings(segs.filter(F.col("term").isin(PHRASE)))
-    return phrase_match(dec, PHRASE, gap=1).orderBy(
-        F.desc("phrase_tf"), "doc_id"
-    ).limit(PHRASE_K)
+    dec = decode_postings(segs)
+    rows = (
+        phrase_match(dec, PHRASE, gap=1)
+        .orderBy(F.desc("phrase_tf"), "doc_id")
+        .limit(PHRASE_K)
+        .collect()
+    )
+    postings.unpersist()
+    # top-k is driver-sized by contract (<= PHRASE_K rows); returning a
+    # local DataFrame lets the persisted postings be released here
+    # instead of leaking into the session cache.
+    return spark.createDataFrame(
+        rows, "doc_id long, phrase_tf long, match_starts array<int>"
+    )
 
 
 QUERIES = {
@@ -2750,8 +2760,10 @@ GROUP BY p.doc_id
 
 ORACLE["boilerplate"] = f"""
 WITH toks AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
-         generate_subscripts(string_split(text, ' '), 1) AS ord
+  -- \\s+ regex split mirrors shingles()'s tokenization exactly (the
+  -- operator splits on runs of any whitespace, not single spaces)
+  SELECT doc_id, unnest(str_split_regex(text, '\\s+')) AS term,
+         generate_subscripts(str_split_regex(text, '\\s+'), 1) AS ord
   FROM documents
 ),
 sh0 AS (

@@ -55,11 +55,17 @@ def shingles(
 ) -> DataFrame:
     """Distinct k-token shingles per doc (token = whitespace split) —
     computed JVM-side via slice/transform over the split array, then
-    exploded. No Python, no per-doc window."""
-    toks = F.split(F.col(text_col), r"\s+")
+    exploded. No Python, no per-doc window.
+
+    Docs with fewer than k tokens yield no shingles: the sequence() is
+    guarded with CASE because Spark's sequence(1, 0) counts DOWN to
+    [1, 0] and slice(toks, 0, k) then throws."""
     sh = F.expr(
-        f"transform(sequence(1, greatest(size(split({text_col}, '\\\\s+')) - {k - 1}, 0)),"
-        f" i -> concat_ws(' ', slice(split({text_col}, '\\\\s+'), i, {k})))"
+        f"""transform(
+          CASE WHEN size(split({text_col}, '\\\\s+')) >= {k}
+               THEN sequence(1, size(split({text_col}, '\\\\s+')) - {k - 1})
+               ELSE array() END,
+          i -> concat_ws(' ', slice(split({text_col}, '\\\\s+'), i, {k})))"""
     )
     return (
         df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))

@@ -65,35 +65,56 @@ def _bigram_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+class BigramLM:
+    """A fitted bigram model: three count DataFrames backed by ONE
+    persisted aggregation. bigrams: (w1, w2, c12); contexts: (w1, c1)
+    where c1 counts bigram positions (so conditionals normalize
+    exactly); vocab: single-row (v) = distinct predicted tokens.
+
+    Fitting is eager (one corpus pass materializes the aggregated
+    table; contexts/vocab/pruning derive from the CACHED counts, never
+    re-reading the corpus). The model stays resident so it can score
+    any number of batches — call release() when done with it."""
+
+    def __init__(self, full: DataFrame, min_count: int):
+        from pyspark import StorageLevel
+
+        self._full = full.persist(StorageLevel.MEMORY_AND_DISK)
+        self._full.count()
+        self.contexts = self._full.groupBy("w1").agg(
+            F.sum("c12").alias("c1")
+        )
+        self.vocab = self._full.agg(F.countDistinct("w2").alias("v"))
+        # c1/vocab use the UNPRUNED counts — c1 must stay the true
+        # normalizer even when rare bigrams are dropped from the model.
+        self.bigrams = (
+            self._full.filter(F.col("c12") >= min_count)
+            if min_count > 0
+            else self._full
+        )
+
+    def release(self) -> None:
+        self._full.unpersist()
+
+
 def train_bigram_lm(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     min_count: int = 0,
-):
-    """(bigrams, contexts, vocab) count DataFrames for add-k scoring.
+) -> BigramLM:
+    """Fit a bigram LM over the corpus in one aggregation pass.
 
-    bigrams: (w1, w2, c12); contexts: (w1, c1) where c1 counts bigram
-    positions (so conditionals normalize exactly); vocab: single-row
-    (v) = distinct predicted tokens. ``min_count`` > 0 prunes rare
-    bigrams (the pruned mass falls back to the smoothing floor, exactly
-    like shipping a truncated LM)."""
+    ``min_count`` > 0 prunes rare bigrams (the pruned mass falls back
+    to the smoothing floor, exactly like shipping a truncated LM)."""
     pairs = _bigram_pairs(df, text_col, id_col)
-    bigrams = pairs.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("c12")
-    )
-    if min_count > 0:
-        bigrams = bigrams.filter(F.col("c12") >= min_count)
-    contexts = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = pairs.agg(F.countDistinct("w2").alias("v"))
-    return bigrams, contexts, vocab
+    full = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    return BigramLM(full, min_count)
 
 
 def perplexity(
     df: DataFrame,
-    bigrams: DataFrame,
-    contexts: DataFrame,
-    vocab: DataFrame,
+    lm: BigramLM,
     k: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -106,9 +127,9 @@ def perplexity(
     tokens have no bigrams and drop out (nothing to score)."""
     pairs = _bigram_pairs(df, text_col, id_col)
     scored = (
-        pairs.join(bigrams, ["w1", "w2"], "left")
-        .join(contexts, "w1", "left")
-        .crossJoin(F.broadcast(vocab))
+        pairs.join(lm.bigrams, ["w1", "w2"], "left")
+        .join(lm.contexts, "w1", "left")
+        .crossJoin(F.broadcast(lm.vocab))
         .select(
             "doc_id",
             F.log(

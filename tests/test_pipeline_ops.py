@@ -462,8 +462,8 @@ def test_bigram_lm_matches_python_twin(spark):
         (3, "a dog sat"),
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
-    bigrams, contexts, vocab = train_bigram_lm(df)
-    out = {r.doc_id: r for r in perplexity(df, bigrams, contexts, vocab, k=0.5).collect()}
+    lm = train_bigram_lm(df)
+    out = {r.doc_id: r for r in perplexity(df, lm, k=0.5).collect()}
 
     # pure-python twin
     big, ctx, voc = {}, {}, set()
@@ -486,12 +486,13 @@ def test_bigram_lm_matches_python_twin(spark):
 
     # unseen bigrams/contexts hit the smoothing floor (coalesce-0 path)
     new = spark.createDataFrame([(9, "zebra quark cat")], "doc_id long, text string")
-    r = perplexity(new, bigrams, contexts, vocab, k=0.5).collect()[0]
+    r = perplexity(new, lm, k=0.5).collect()[0]
     floor = math.log(0.5 / (0.5 * V))
     assert r.n_bigrams == 3
     # first bigram (<s>, zebra): seen context, unseen word
     exp = (math.log(0.5 / (ctx["<s>"] + 0.5 * V)) + 2 * floor) / 3
     assert abs(r.avg_logprob - round(exp, 3)) < 1e-9
+    lm.release()
 
 
 def test_boilerplate_ngrams_flags_and_threshold(spark):
@@ -535,3 +536,27 @@ def test_cluster_sample_quota_and_subset(spark):
     again = {(r.vec_id, r.cluster, r.pick)
              for r in cluster_sample(asg.repartition(7), quota=10, salt="t").collect()}
     assert again == {(r.vec_id, r.cluster, r.pick) for r in out.collect()}
+
+
+def test_shingles_short_docs_and_whitespace(spark):
+    from myaku_spark.operators.dedup import boilerplate_ngrams, shingles
+
+    df = spark.createDataFrame(
+        [
+            (1, "one two"),            # < k tokens: no shingles
+            (2, "a"),
+            (3, ""),
+            (4, "a\tb  c d"),          # tabs/double spaces split like \s+
+            (5, "x y z"),              # exactly k
+        ],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in shingles(df, k=3).collect():
+        got.setdefault(r.doc_id, set()).add(r.shingle)
+    assert 1 not in got and 2 not in got and 3 not in got
+    assert got[4] == {"a b c", "b c d"}
+    assert got[5] == {"x y z"}
+    # the curation-facing caller no longer crashes on short docs
+    out = {r.doc_id: r for r in boilerplate_ngrams(df, k=3, min_docs=2).collect()}
+    assert set(out) == {4, 5}
