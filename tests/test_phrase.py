@@ -181,3 +181,28 @@ def test_phrase_on_ja_index_dir(spark, tmp_path):
         ).collect()
     }
     assert unpruned == got
+
+
+def test_phrase_randomized_vs_twin(spark):
+    """Seeded randomized sweep: small vocab forces heavy term repetition
+    and overlapping candidates; every phrase length 2-4 must equal the
+    pure-Python twin exactly."""
+    import random
+
+    rng = random.Random(7)
+    vocab = ["a", "bb", "c", "dd", "e"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+        for i in range(40)
+    ]
+    docs = [(i, t) for i, t in docs if t]
+    segs = _segments_for(spark, docs)
+    for plen in (2, 3, 4):
+        phrase = [rng.choice(vocab) for _ in range(plen)]
+        got = {
+            r.doc_id: list(r.match_starts)
+            for r in phrase_search(
+                spark, segs, phrase, k=1000, gap=1
+            ).collect()
+        }
+        assert got == _brute(docs, phrase), (phrase, got)
