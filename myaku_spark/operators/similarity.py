@@ -271,25 +271,21 @@ def kmeans_fit(
 
         return partials
 
+    # One Spark job per Lloyd round: the per-partition partials are
+    # driver-sized by construction (<= k rows x n_partitions), so a
+    # single collect + numpy reduce replaces the groupBy/posexplode
+    # re-aggregation (3 actions/round -> 1).
     schema = "cl int, n long, s array<double>"
     for _ in range(iters):
         bc = spark.sparkContext.broadcast(cents)
-        part = data.mapInPandas(make_partials(bc), schema).persist()
-        counts = {r.cl: r.n for r in part.groupBy("cl").agg(
-            F.sum("n").alias("n")).collect()}
-        dims = (
-            part.select("cl", F.posexplode("s").alias("pos", "val"))
-            .groupBy("cl", "pos")
-            .agg(F.sum("val").alias("s"))
-            .collect()
-        )
-        part.unpersist()
+        rows = data.mapInPandas(make_partials(bc), schema).collect()
         sums = np.zeros_like(cents)
-        for r in dims:
-            sums[r.cl, r.pos] = r.s
-        for cl, n in counts.items():
-            if n > 0:
-                cents[cl] = sums[cl] / n
+        counts = np.zeros(len(cents), dtype=np.int64)
+        for r in rows:
+            sums[r.cl] += np.asarray(r.s, dtype=np.float64)
+            counts[r.cl] += r.n
+        nz = counts > 0
+        cents[nz] = sums[nz] / counts[nz, None]
         bc.destroy()
     data.unpersist()
     return cents
