@@ -194,16 +194,22 @@ def decode_block(blob: bytes) -> dict:
     if has_pos:
         total_pos = int(tfs.sum())
         flat = vals[i : i + 2 * total_pos]; i += 2 * total_pos
-        positions = []
-        k = 0
-        for tf in tfs:
-            plist = []
-            prev = 0
-            for _ in range(int(tf)):
-                start = prev + int(flat[k]); ln = int(flat[k + 1])
-                plist.append((start, ln))
-                prev = start
-                k += 2
-            positions.append(plist)
-        out["positions"] = positions
+        # Vectorized segmented delta-decode: starts are a cumsum of
+        # deltas restarting at each posting — global cumsum minus the
+        # cumsum value at each posting's boundary (exclusive).
+        tf_i = tfs.astype(np.int64)
+        if tf_i.size == 0:
+            out["positions"] = []
+            return out
+        deltas = flat[0::2].astype(np.int64)
+        lens = flat[1::2].astype(np.int64)
+        s = np.cumsum(deltas)
+        gstart = np.concatenate(([0], np.cumsum(tf_i)[:-1]))
+        base = np.where(gstart > 0, s[np.maximum(gstart - 1, 0)], 0)
+        starts = s - np.repeat(base, tf_i)
+        bounds = np.cumsum(tf_i)[:-1]
+        out["positions"] = [
+            list(zip(a.tolist(), b.tolist()))
+            for a, b in zip(np.split(starts, bounds), np.split(lens, bounds))
+        ]
     return out
