@@ -1806,6 +1806,44 @@ def q_phrase_search(spark, sf_dir):
     )
 
 
+PROX = ["slow", "batch"]  # proximity gate: ordered within-window pair
+PROX_SLOP = 8  # window admits one intervening token of <= 7 chars
+
+
+def q_proximity_search(spark, sf_dir):
+    """Ordered proximity search (slop=8): 'slow' followed by 'batch'
+    within the window — catches both the adjacent pair and the
+    'slow hash batch' trigram. Same decode path as phrase_search;
+    chains branch over every in-window occurrence."""
+    from myaku_spark.operators.phrase import decode_postings, phrase_match
+    from myaku_spark.operators.segments import build_segments
+
+    toks = _tokens(spark, sf_dir).filter(F.col("term").isin(PROX))
+    postings = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("int").alias("tf"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("start").cast("int").alias("start"),
+                    F.col("len").cast("int").alias("len"),
+                )
+            )
+        ).alias("positions"),
+    ).withColumn("score", F.col("tf")).persist()
+    segs = build_segments(postings, payload_col="score")
+    dec = decode_postings(segs)
+    rows = (
+        phrase_match(dec, PROX, gap=1, slop=PROX_SLOP)
+        .orderBy(F.desc("phrase_tf"), "doc_id")
+        .limit(PHRASE_K)
+        .collect()
+    )
+    postings.unpersist()
+    return spark.createDataFrame(
+        rows, "doc_id long, phrase_tf long, match_starts array<int>"
+    )
+
+
 QUERIES = {
     "token_positions": q_token_positions,
     "postings_build": q_postings_build,
@@ -1847,6 +1885,7 @@ QUERIES = {
     "lm_perplexity": q_lm_perplexity,
     "boilerplate": q_boilerplate,
     "phrase_search": q_phrase_search,
+    "proximity_search": q_proximity_search,
     "lang_id": q_lang_id,
     "ja_index_postings": q_ja_index_postings,
     "extraction_parity": q_extraction_parity,
@@ -2702,6 +2741,23 @@ m AS (
   FROM t0
   JOIN t1 ON t1.doc_id = t0.doc_id AND t1.start = t0.e + 1
   JOIN t2 ON t2.doc_id = t0.doc_id AND t2.start = t1.e + 1
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS phrase_tf,
+       list(head ORDER BY head) AS match_starts
+FROM m GROUP BY doc_id
+ORDER BY phrase_tf DESC, doc_id
+LIMIT {PHRASE_K}
+"""
+
+ORACLE["proximity_search"] = f"""
+WITH {_SQL_TOKS},
+t0 AS (SELECT doc_id, start, start + len AS e FROM toks
+       WHERE term = '{PROX[0]}'),
+t1 AS (SELECT doc_id, start FROM toks WHERE term = '{PROX[1]}'),
+m AS (
+  SELECT DISTINCT t0.doc_id, t0.start AS head
+  FROM t0 JOIN t1 ON t1.doc_id = t0.doc_id
+   AND t1.start BETWEEN t0.e + 1 AND t0.e + 1 + {PROX_SLOP}
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS phrase_tf,
        list(head ORDER BY head) AS match_starts

@@ -61,11 +61,22 @@ def decode_postings(segments: DataFrame, deleted=None) -> DataFrame:
     return segments.select("term", "blob").mapInPandas(gen, POSTINGS_SCHEMA)
 
 
-def phrase_match(postings: DataFrame, terms: list[str], gap: int = 0) -> DataFrame:
+def phrase_match(
+    postings: DataFrame,
+    terms: list[str],
+    gap: int = 0,
+    slop: int = 0,
+) -> DataFrame:
     """(doc_id, phrase_tf, match_starts) for docs containing the exact
     term sequence with positional adjacency (next.start == prev.end +
     gap). Candidate chains survive overlapping occurrences and repeated
     phrase terms (each step re-probes that term's own position map).
+
+    ``slop`` > 0 relaxes adjacency to an ordered proximity window:
+    next.start ∈ [prev.end + gap, prev.end + gap + slop]. Chains BRANCH
+    over every in-window occurrence (a greedy nearest-match would
+    wrongly kill chains whose nearer token dead-ends later), and
+    match_starts dedups to distinct chain heads.
 
     Shape: ONE groupBy(doc_id) pivots the phrase terms' postings into a
     per-doc term→positions map, then the whole chain-match is a single
@@ -103,32 +114,71 @@ def phrase_match(postings: DataFrame, terms: list[str], gap: int = 0) -> DataFra
     )
     for t in terms[1:]:
         ti = F.col("tm").getItem(t)
-        pos_map = F.map_from_arrays(ti.getField("starts"), ti.getField("lens"))
-        cand = F.filter(
-            F.transform(
-                cand,
-                lambda c: F.struct(
-                    c.getField("head").alias("head"),
-                    (
-                        c.getField("end")
-                        + F.lit(gap)
-                        + F.try_element_at(
-                            pos_map, c.getField("end") + F.lit(gap)
-                        )
-                    ).alias("end"),
+        if slop == 0:
+            # exact adjacency: O(1) map probe per candidate
+            pos_map = F.map_from_arrays(
+                ti.getField("starts"), ti.getField("lens")
+            )
+            cand = F.filter(
+                F.transform(
+                    cand,
+                    lambda c: F.struct(
+                        c.getField("head").alias("head"),
+                        (
+                            c.getField("end")
+                            + F.lit(gap)
+                            + F.try_element_at(
+                                pos_map, c.getField("end") + F.lit(gap)
+                            )
+                        ).alias("end"),
+                    ),
                 ),
-            ),
-            lambda c: c.getField("end").isNotNull(),
-        )
+                lambda c: c.getField("end").isNotNull(),
+            )
+        else:
+            # proximity window: branch over every in-window occurrence
+            zipped = F.zip_with(
+                ti.getField("starts"),
+                ti.getField("lens"),
+                lambda a, b: F.struct(
+                    a.alias("start"), (a + b).alias("end")
+                ),
+            )
+            cand = F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        cand,
+                        lambda c: F.transform(
+                            F.filter(
+                                zipped,
+                                lambda p: (
+                                    p.getField("start")
+                                    >= c.getField("end") + F.lit(gap)
+                                )
+                                & (
+                                    p.getField("start")
+                                    <= c.getField("end")
+                                    + F.lit(gap + slop)
+                                ),
+                            ),
+                            lambda p: F.struct(
+                                c.getField("head").alias("head"),
+                                p.getField("end").alias("end"),
+                            ),
+                        ),
+                    )
+                )
+            )
+    heads = F.array_distinct(
+        F.transform(cand, lambda c: c.getField("head"))
+    )
     return (
-        tm.select("doc_id", cand.alias("cand"))
-        .filter(F.size("cand") > 0)
+        tm.select("doc_id", heads.alias("match_starts"))
+        .filter(F.size("match_starts") > 0)
         .select(
             "doc_id",
-            F.size("cand").cast("long").alias("phrase_tf"),
-            F.transform(F.col("cand"), lambda c: c.getField("head")).alias(
-                "match_starts"
-            ),
+            F.size("match_starts").cast("long").alias("phrase_tf"),
+            "match_starts",
         )
     )
 
@@ -176,6 +226,7 @@ def phrase_search(
     terms: list[str],
     k: int = 10,
     gap: int = 0,
+    slop: int = 0,
     prune: bool = True,
 ) -> DataFrame:
     """Top-k docs for an exact phrase; ``source`` is an index_dir (reads
@@ -202,6 +253,6 @@ def phrase_search(
             )
             deleted_bc = spark.sparkContext.broadcast(arr)
     postings = decode_postings(segments, deleted=deleted_bc)
-    return phrase_match(postings, terms, gap=gap).orderBy(
+    return phrase_match(postings, terms, gap=gap, slop=slop).orderBy(
         F.desc("phrase_tf"), "doc_id"
     ).limit(k)

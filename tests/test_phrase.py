@@ -206,3 +206,63 @@ def test_phrase_randomized_vs_twin(spark):
             ).collect()
         }
         assert got == _brute(docs, phrase), (phrase, got)
+
+
+def _brute_slop(docs, phrase, slop):
+    """Ordered proximity twin: chains branch over every in-window
+    occurrence; heads dedup."""
+    out = {}
+    for doc_id, text in docs:
+        toks, pos, off = [], [], 0
+        for w in text.split(" "):
+            toks.append(w)
+            pos.append(off)
+            off += len(w) + 1
+        ends = [pos[i] + len(toks[i]) for i in range(len(toks))]
+        chains = [
+            (pos[i], ends[i])
+            for i in range(len(toks))
+            if toks[i] == phrase[0]
+        ]
+        for t in phrase[1:]:
+            chains = [
+                (h, ends[j])
+                for (h, e) in chains
+                for j in range(len(toks))
+                if toks[j] == t and e + 1 <= pos[j] <= e + 1 + slop
+            ]
+        heads = sorted({h for h, _ in chains})
+        if heads:
+            out[doc_id] = heads
+    return out
+
+
+def test_proximity_slop(spark):
+    docs = [
+        (1, "slow batch now"),               # adjacent
+        (2, "slow hash batch"),              # one intervening token
+        (3, "slow enormous batch"),          # intervening token too long
+        (4, "batch slow"),                   # wrong order
+        (5, "slow a batch b slow batch"),    # two heads, branching
+        (6, "slow a a batch"),               # two short interveners: > slop
+    ]
+    segs = _segments_for(spark, docs)
+    for slop in (0, 5, 8):
+        got = {
+            r.doc_id: list(r.match_starts)
+            for r in phrase_search(
+                spark, segs, ["slow", "batch"], k=100, gap=1, slop=slop
+            ).collect()
+        }
+        assert got == _brute_slop(docs, ["slow", "batch"], slop), slop
+    # 3-term proximity with branching across steps
+    docs3 = [(10, "a x b y c"), (11, "a b b c"), (12, "a bb c")]
+    segs3 = _segments_for(spark, docs3)
+    for slop in (0, 2, 4):
+        got = {
+            r.doc_id: list(r.match_starts)
+            for r in phrase_search(
+                spark, segs3, ["a", "b", "c"], k=100, gap=1, slop=slop
+            ).collect()
+        }
+        assert got == _brute_slop(docs3, ["a", "b", "c"], slop), slop
