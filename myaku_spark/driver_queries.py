@@ -1844,6 +1844,53 @@ def q_proximity_search(spark, sf_dir):
     )
 
 
+CUR_TWINS = 30  # seeded exact-duplicate twins so the dedup stage bites
+CUR_MIN_CHARS = 180
+CUR_PPL_MAX = 30.2  # p75 of funnel survivors' ppl: the stage bites, most pass
+CUR_SALT = "cur0"
+CUR_WEIGHTS = {f"src{i}": 1.0 for i in range(5)} | {
+    f"src{i}": 0.6 for i in range(5, 10)
+}
+CUR_DEFAULT_RATE = 0.3
+
+
+def q_curation_funnel(spark, sf_dir):
+    """The full curation pipeline as a survivor funnel: input → lang →
+    min-length → exact dedup → boilerplate → LM perplexity → weighted
+    domain sample, computed as ONE flag projection + ONE aggregation
+    (plans/curate.py). The corpus has no exact duplicates, so the gate
+    seeds CUR_TWINS identical twins (doc_id + 10^6) — first-writer-wins
+    must remove exactly the twins. Oracle replays every stage
+    relationally over the same seeded input."""
+    from myaku_spark.plans.curate import curate_flags, curate_metrics
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    twins = (
+        docs.filter(F.col("lang") == "en")
+        .orderBy("doc_id")
+        .limit(CUR_TWINS)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
+    )
+    inp = docs.unionByName(twins)
+    flags = curate_flags(
+        inp,
+        lang="en",
+        min_chars=CUR_MIN_CHARS,
+        bp_min_docs=BP_MIN_DOCS,
+        bp_max_ratio=BP_MAX_RATIO,
+        ppl_max=CUR_PPL_MAX,
+        weights=CUR_WEIGHTS,
+        default_rate=CUR_DEFAULT_RATE,
+        salt=CUR_SALT,
+    )
+    return curate_metrics(flags)
+
+
 QUERIES = {
     "token_positions": q_token_positions,
     "postings_build": q_postings_build,
@@ -1886,6 +1933,7 @@ QUERIES = {
     "boilerplate": q_boilerplate,
     "phrase_search": q_phrase_search,
     "proximity_search": q_proximity_search,
+    "curation_funnel": q_curation_funnel,
     "lang_id": q_lang_id,
     "ja_index_postings": q_ja_index_postings,
     "extraction_parity": q_extraction_parity,
@@ -2747,6 +2795,117 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS phrase_tf,
 FROM m GROUP BY doc_id
 ORDER BY phrase_tf DESC, doc_id
 LIMIT {PHRASE_K}
+"""
+
+_CUR_RATE_CASE = "CASE i.source " + " ".join(
+    f"WHEN '{d}' THEN {w}" for d, w in sorted(CUR_WEIGHTS.items())
+) + f" ELSE {CUR_DEFAULT_RATE} END"
+
+ORACLE["curation_funnel"] = f"""
+WITH twins AS (
+  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+  FROM (SELECT doc_id, text, lang, source, n_chars FROM documents
+        WHERE lang = 'en' ORDER BY doc_id LIMIT {CUR_TWINS})
+),
+inp AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL SELECT * FROM twins
+),
+ctoks AS (
+  SELECT doc_id, unnest(str_split_regex(text, '\\s+')) AS term,
+         generate_subscripts(str_split_regex(text, '\\s+'), 1) AS ord
+  FROM inp
+),
+csh0 AS (
+  SELECT doc_id, term,
+         lead(term, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS t2,
+         lead(term, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS t3
+  FROM ctoks
+),
+csh AS (
+  SELECT DISTINCT doc_id, term || ' ' || t2 || ' ' || t3 AS shingle
+  FROM csh0 WHERE t3 IS NOT NULL
+),
+cfreq AS (SELECT shingle, count(*) AS doc_freq FROM csh GROUP BY 1),
+bpf AS (
+  SELECT s.doc_id,
+         sum(CASE WHEN f.doc_freq >= {BP_MIN_DOCS} THEN 1 ELSE 0 END)
+           * 1.0 / count(*) < {BP_MAX_RATIO} AS bp_keep
+  FROM csh s JOIN cfreq f USING (shingle)
+  GROUP BY s.doc_id
+),
+ltok AS (
+  SELECT doc_id,
+         list_prepend('<s>', list_filter(
+           regexp_split_to_array(lower(text), '\\s+'),
+           x -> x <> '')) AS t
+  FROM inp
+),
+lpairs AS (
+  SELECT doc_id,
+         unnest(list_transform(range(2, len(t) + 1), j -> t[j - 1])) AS w1,
+         unnest(list_transform(range(2, len(t) + 1), j -> t[j])) AS w2
+  FROM ltok
+),
+lbig AS (SELECT w1, w2, count(*) AS c12 FROM lpairs GROUP BY 1, 2),
+lctx AS (SELECT w1, count(*) AS c1 FROM lpairs GROUP BY 1),
+lvoc AS (SELECT count(DISTINCT w2) AS v FROM lpairs),
+ppl AS (
+  SELECT p.doc_id,
+         round(exp(-avg(ln((b.c12 + {LM_K}) / (c.c1 + {LM_K} * lvoc.v)))),
+               3) AS ppl
+  FROM lpairs p
+  JOIN lbig b USING (w1, w2)
+  JOIN lctx c USING (w1)
+  CROSS JOIN lvoc
+  GROUP BY p.doc_id
+),
+flags AS (
+  SELECT i.doc_id,
+         (i.lang = 'en') AS f_lang,
+         (i.n_chars >= {CUR_MIN_CHARS}) AS f_len,
+         i.doc_id = min(CASE WHEN i.lang = 'en'
+                              AND i.n_chars >= {CUR_MIN_CHARS}
+                             THEN i.doc_id END)
+           OVER (PARTITION BY md5(i.text)) AS f_dedup,
+         coalesce(b.bp_keep, TRUE) AS f_bp,
+         coalesce(p.ppl <= {CUR_PPL_MAX}, FALSE) AS f_ppl,
+         CAST('0x' || substr(md5(i.doc_id || ':{CUR_SALT}'), 1, 14)
+              AS BIGINT) / 72057594037927936.0 < {_CUR_RATE_CASE}
+           AS f_sample
+  FROM inp i
+  LEFT JOIN bpf b USING (doc_id)
+  LEFT JOIN ppl p USING (doc_id)
+)
+SELECT 0 AS stage_idx, 'input' AS stage,
+       CAST(count(*) AS BIGINT) AS n_docs FROM flags
+UNION ALL
+SELECT 1, 'lang', CAST(sum(CASE WHEN f_lang THEN 1 ELSE 0 END) AS BIGINT)
+FROM flags
+UNION ALL
+SELECT 2, 'min_length',
+       CAST(sum(CASE WHEN f_lang AND f_len THEN 1 ELSE 0 END) AS BIGINT)
+FROM flags
+UNION ALL
+SELECT 3, 'exact_dedup',
+       CAST(sum(CASE WHEN f_lang AND f_len AND f_dedup
+                THEN 1 ELSE 0 END) AS BIGINT)
+FROM flags
+UNION ALL
+SELECT 4, 'boilerplate',
+       CAST(sum(CASE WHEN f_lang AND f_len AND f_dedup AND f_bp
+                THEN 1 ELSE 0 END) AS BIGINT)
+FROM flags
+UNION ALL
+SELECT 5, 'lm_ppl',
+       CAST(sum(CASE WHEN f_lang AND f_len AND f_dedup AND f_bp
+                     AND f_ppl THEN 1 ELSE 0 END) AS BIGINT)
+FROM flags
+UNION ALL
+SELECT 6, 'domain_sample',
+       CAST(sum(CASE WHEN f_lang AND f_len AND f_dedup AND f_bp
+                     AND f_ppl AND f_sample THEN 1 ELSE 0 END) AS BIGINT)
+FROM flags
 """
 
 ORACLE["proximity_search"] = f"""

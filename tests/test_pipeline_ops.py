@@ -560,3 +560,52 @@ def test_shingles_short_docs_and_whitespace(spark):
     # the curation-facing caller no longer crashes on short docs
     out = {r.doc_id: r for r in boilerplate_ngrams(df, k=3, min_docs=2).collect()}
     assert set(out) == {4, 5}
+
+
+def test_curation_pipeline(spark):
+    from myaku_spark.plans.curate import (
+        STAGES,
+        curate,
+        curate_flags,
+        curate_metrics,
+    )
+
+    docs = [
+        # doc_id, text, lang, source, n_chars
+        (1, "the quick brown fox jumps over the lazy dog again today", "en", "s0", 200),
+        (2, "the quick brown fox jumps over the lazy dog again today", "en", "s0", 200),  # exact dup of 1
+        (3, "ein ganz anderer text auf deutsch hier", "de", "s0", 200),   # lang fails
+        (4, "short english words only", "en", "s0", 50),                  # length fails
+        (5, "completely different english sentence with many other words", "en", "s1", 200),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    flags = curate_flags(
+        df, lang="en", min_chars=100, ppl_max=1e9,
+        weights={"s0": 1.0, "s1": 1.0}, default_rate=1.0,
+    )
+    f = {r.doc_id: r for r in flags.collect()}
+    assert f[3].f_lang is False and f[4].f_len is False
+    assert f[1].f_dedup is True and f[2].f_dedup is False  # first writer wins
+    met = {r.stage: r.n_docs for r in curate_metrics(flags).collect()}
+    assert met["input"] == 5
+    assert met["lang"] == 4
+    assert met["min_length"] == 3
+    assert met["exact_dedup"] == 2
+    assert met["domain_sample"] <= met["lm_ppl"] <= met["boilerplate"]
+    # monotone funnel
+    vals = [
+        r.n_docs
+        for r in curate_metrics(flags).orderBy("stage_idx").collect()
+    ]
+    assert vals == sorted(vals, reverse=True) and len(vals) == len(STAGES)
+    kept = {
+        r.doc_id
+        for r in curate(
+            df, lang="en", min_chars=100, ppl_max=1e9,
+            weights={"s0": 1.0, "s1": 1.0}, default_rate=1.0,
+        ).collect()
+    }
+    assert 2 not in kept and 3 not in kept and 4 not in kept
+    assert kept <= {1, 5}
