@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "boilerplate",
     "kmeans_clusters",
     "phrase_search",
+    "curation_funnel",
 ]
 
 
