@@ -153,12 +153,22 @@ def rolling_fingerprint(
     """Winnowing-style document fingerprints: hash every ``window``-gram of
     tokens, keep per-doc minima per band — robust content fingerprints for
     fuzzy matching. Returns (doc_id, band, fp)."""
-    toks = F.split(F.col(text_col), r"\s+")
-    grams = F.expr(
-        f"transform(sequence(1, greatest(size(split({text_col}, '\\\\s+')) - {window - 1}, 0)),"
-        f" i -> xxhash64(concat_ws(' ', slice(split({text_col}, '\\\\s+'), i, {window}))))"
+    # Token array materialized first (slice(split(...)) inside the
+    # lambda re-evaluates the split per gram — quadratic), and the
+    # sequence is CASE-guarded (sequence(1, 0) counts DOWN and
+    # slice(_, 0, k) throws on docs shorter than the window).
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), r"\s+").alias("_toks"),
     )
-    g = df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("gh"))
+    grams = F.expr(
+        f"""transform(
+          CASE WHEN size(_toks) >= {window}
+               THEN sequence(1, size(_toks) - {window - 1})
+               ELSE array() END,
+          i -> xxhash64(concat_ws(' ', slice(_toks, i, {window}))))"""
+    )
+    g = base.select("doc_id", F.explode(grams).alias("gh"))
     return g.groupBy("doc_id", F.pmod(F.col("gh"), F.lit(4)).alias("band")).agg(
         F.min("gh").alias("fp")
     )
@@ -185,13 +195,21 @@ def repetition_signals(
         F.count(F.lit(1)).alias("n_lines"),
         F.countDistinct("line").alias("n_distinct_lines"),
     )
+    # same materialize-then-slice + CASE guard as rolling_fingerprint
+    # (single-token docs crashed the down-counting sequence; the split
+    # inside the lambda was quadratic)
     grams = df.select(
         F.col(id_col).alias("doc_id"),
+        F.split(text, r"\s+").alias("_toks"),
+    ).select(
+        "doc_id",
         F.explode(
             F.expr(
-                f"transform(sequence(1, greatest(size(split({text_col},"
-                f" '\\\\s+')) - 1, 0)), i -> concat_ws(' ',"
-                f" slice(split({text_col}, '\\\\s+'), i, 2)))"
+                """transform(
+                  CASE WHEN size(_toks) >= 2
+                       THEN sequence(1, size(_toks) - 1)
+                       ELSE array() END,
+                  i -> concat_ws(' ', slice(_toks, i, 2)))"""
             )
         ).alias("gram"),
     ).filter(F.length("gram") > 0)

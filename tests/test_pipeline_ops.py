@@ -609,3 +609,21 @@ def test_curation_pipeline(spark):
     }
     assert 2 not in kept and 3 not in kept and 4 not in kept
     assert kept <= {1, 5}
+
+
+def test_fingerprint_and_repetition_short_docs(spark):
+    from myaku_spark.operators.textstats import (
+        repetition_signals,
+        rolling_fingerprint,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, ""), (3, "one two three"),
+         (4, "w1 w2 w3 w4 w5 w6 w7 w8 w9")],
+        "doc_id long, text string",
+    )
+    fp = {r.doc_id for r in rolling_fingerprint(df, window=8).collect()}
+    assert fp == {4}  # only the doc with >= 8 tokens fingerprints
+    rep = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert set(rep) == {1, 2, 3, 4}  # no crash on 0/1-token docs
+    assert rep[1].top_2gram_frac == 0.0 and rep[3].n_lines == 1
