@@ -1627,59 +1627,65 @@ def q_kmeans_clusters(spark, sf_dir):
     )
 
 
-def _kmeans_prefix(k: int, iters: int) -> str:
+def _kmeans_prefix(
+    k: int, iters: int, vec_sql: str | None = None, sfx: str = ""
+) -> str:
     """Lloyd's k-means unrolled as CTEs (assignment a_i/m_i, update
     u_i/c_{i+1}); mirrors kmeans_fit exactly, incl. empty-cluster
     carry-over and lowest-cluster tie-break. Returns the WITH-chain up
     to the final assignment m{iters} so multiple oracles can build on
-    the same clustering."""
+    the same clustering. ``vec_sql`` overrides the int-scaled vector
+    expression (e.g. a subspace slice for PQ); ``sfx`` suffixes every
+    CTE name so several chains can coexist in one statement (the first
+    chain must carry the WITH keyword: strip it for later ones)."""
+    vec_sql = vec_sql or (
+        "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000))"
+    )
     parts = [
         f"""
-e AS (
-  SELECT vec_id,
-         list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000))
-           AS v
+e{sfx} AS MATERIALIZED (
+  SELECT vec_id, {vec_sql} AS v
   FROM embeddings
 ),
-c0 AS (
+c0{sfx} AS MATERIALIZED (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl,
          v AS cv
-  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k})
+  FROM (SELECT vec_id, v FROM e{sfx} ORDER BY vec_id LIMIT {k})
 )"""
     ]
     for i in range(iters + 1):
         parts.append(
             f""",
-a{i} AS (
+a{i}{sfx} AS MATERIALIZED (
   SELECT vec_id, cl, sum((x - y) * (x - y)) AS dist
   FROM (SELECT e.vec_id, c.cl, unnest(e.v) AS x, unnest(c.cv) AS y
-        FROM e CROSS JOIN c{i} c)
+        FROM e{sfx} e CROSS JOIN c{i}{sfx} c)
   GROUP BY vec_id, cl
 ),
-m{i} AS (
+m{i}{sfx} AS MATERIALIZED (
   SELECT vec_id, cl FROM (
     SELECT vec_id, cl,
            row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
-    FROM a{i})
+    FROM a{i}{sfx})
   WHERE rn = 1
 )"""
         )
         if i < iters:
             parts.append(
                 f""",
-u{i} AS (
+u{i}{sfx} AS MATERIALIZED (
   SELECT m.cl, t.pos, avg(t.val) AS val
-  FROM m{i} m JOIN (
+  FROM m{i}{sfx} m JOIN (
     SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS pos
-    FROM e
+    FROM e{sfx}
   ) t USING (vec_id)
   GROUP BY m.cl, t.pos
 ),
-c{i + 1} AS (
+c{i + 1}{sfx} AS MATERIALIZED (
   SELECT p.cl,
          CASE WHEN count(u.val) = 0 THEN p.cv
               ELSE list(u.val ORDER BY u.pos) END AS cv
-  FROM c{i} p LEFT JOIN u{i} u ON u.cl = p.cl
+  FROM c{i}{sfx} p LEFT JOIN u{i}{sfx} u ON u.cl = p.cl
   GROUP BY p.cl, p.cv
 )"""
             )
@@ -1697,6 +1703,39 @@ sizes AS (
 SELECT m.vec_id, m.cl AS cluster, s.cluster_size
 FROM m{iters} m JOIN sizes s USING (cl)
 """
+    )
+
+
+PQ_M = 4        # product quantization: subspaces
+PQ_KCB = 8      # centroids per subspace codebook
+PQ_ITERS = 2    # Lloyd rounds per codebook
+PQ_TOPK = 5
+PQ_DIM = 64     # testdata embedding dimension
+PQ_QIDS = [0, 1, 2]
+
+
+def q_pq_adc_topk(spark, sf_dir):
+    """Product-quantization ANN: per-subspace Lloyd codebooks (same
+    deterministic k-means as kmeans_clusters, on vector slices), 1-int-
+    per-subspace codes, and asymmetric-distance top-k via a broadcast
+    query LUT. Int-scaled vectors make every distance an exact integer
+    — the oracle unrolls all four codebook fits as suffixed CTE chains
+    and replays encode + ADC relationally."""
+    from myaku_spark.operators.similarity import pq_adc_topk
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1000, 0),
+        ).alias("embedding"),
+    )
+    queries = emb.filter(F.col("vec_id").isin(PQ_QIDS)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return pq_adc_topk(
+        emb, queries, k=PQ_TOPK, m=PQ_M, k_cb=PQ_KCB,
+        iters=PQ_ITERS, dim=PQ_DIM,
     )
 
 
@@ -1934,6 +1973,7 @@ QUERIES = {
     "phrase_search": q_phrase_search,
     "proximity_search": q_proximity_search,
     "curation_funnel": q_curation_funnel,
+    "pq_adc_topk": q_pq_adc_topk,
     "lang_id": q_lang_id,
     "ja_index_postings": q_ja_index_postings,
     "extraction_parity": q_extraction_parity,
@@ -2775,6 +2815,62 @@ SELECT shard, doc_id, n_tokens, seq_id, seq_fill FROM pack
 """
 
 ORACLE["kmeans_clusters"] = _kmeans_sql(KM_K, KM_ITERS)
+
+
+def _pq_sql() -> str:
+    sub = PQ_DIM // PQ_M
+    chains = []
+    for j in range(PQ_M):
+        a, b = j * sub + 1, (j + 1) * sub
+        vec = (
+            f"list_transform(embedding[{a}:{b}],"
+            " x -> round(CAST(x AS DOUBLE) * 1000))"
+        )
+        chain = _kmeans_prefix(PQ_KCB, PQ_ITERS, vec_sql=vec, sfx=f"_{j}")
+        chains.append(chain if j == 0 else chain[len("WITH "):])
+    qids = ", ".join(str(q) for q in PQ_QIDS)
+    qds = ",".join(
+        f"""
+qd_{j} AS (
+  SELECT vec_id AS q_id, cl, sum((x - y) * (x - y)) AS d
+  FROM (SELECT e.vec_id, c.cl, unnest(e.v) AS x, unnest(c.cv) AS y
+        FROM e_{j} e CROSS JOIN c{PQ_ITERS}_{j} c
+        WHERE e.vec_id IN ({qids}))
+  GROUP BY vec_id, cl
+)"""
+        for j in range(PQ_M)
+    )
+    code_joins = "\n  ".join(
+        f"JOIN m{PQ_ITERS}_{j} m{j} USING (vec_id)" for j in range(1, PQ_M)
+    )
+    lut_joins = "\n  ".join(
+        f"JOIN qd_{j} q{j} ON q{j}.cl = m{j}.cl AND q{j}.q_id = q0.q_id"
+        for j in range(1, PQ_M)
+    )
+    dist_sum = " + ".join(f"q{j}.d" for j in range(PQ_M))
+    return (
+        ",".join(chains)
+        + ","
+        + qds
+        + f""",
+adc AS (
+  SELECT q0.q_id, m0.vec_id, round({dist_sum}, 3) AS adc_dist
+  FROM m{PQ_ITERS}_0 m0
+  {code_joins}
+  JOIN qd_0 q0 ON q0.cl = m0.cl
+  {lut_joins}
+)
+SELECT q_id, vec_id, adc_dist, CAST(rn AS INTEGER) AS rank FROM (
+  SELECT q_id, vec_id, adc_dist,
+         row_number() OVER (
+           PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rn
+  FROM adc)
+WHERE rn <= {PQ_TOPK}
+"""
+    )
+
+
+ORACLE["pq_adc_topk"] = _pq_sql()
 
 ORACLE["phrase_search"] = f"""
 WITH {_SQL_TOKS},

@@ -352,3 +352,127 @@ def cluster_sample(
         .filter(F.col("pick") <= quota)
         .select(id_col, "cluster", "pick")
     )
+
+
+# --- Product quantization (IVF-PQ-style ADC) ---------------------------------
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Per-subspace k-means codebooks: split the vector into m
+    contiguous subspaces of dim/m and run the SAME deterministic Lloyd
+    fit on each — the standard PQ training step, m small Lloyd loops
+    whose per-round cost is one map-side pass each (kmeans_fit)."""
+    sub = dim // m
+    books = []
+    for j in range(m):
+        sliced = emb.select(
+            id_col, F.slice(F.col(vec_col), j * sub + 1, sub).alias(vec_col)
+        )
+        books.append(kmeans_fit(sliced, k=k, iters=iters, id_col=id_col))
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    books,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, codes array<int>) — per-subspace nearest-centroid codes
+    in ONE mapInPandas pass with all m codebooks broadcast (the 8-byte-
+    per-vector compressed representation PQ exists for)."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    C = [np.asarray(b, dtype=np.float64) for b in books]
+    sub = C[0].shape[1]
+    bc = spark.sparkContext.broadcast(C)
+
+    def enc(it):
+        import pandas as pd
+
+        books_v = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = np.empty((len(pdf), len(books_v)), dtype=np.int32)
+            for j, Cj in enumerate(books_v):
+                Xj = X[:, j * sub : (j + 1) * sub]
+                d = ((Xj[:, None, :] - Cj[None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "codes": list(codes),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        enc, f"{id_col} long, codes array<int>"
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    k_cb: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_emb",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: per query, an m×k_cb
+    lookup table of query-subvector→centroid distances; the approximate
+    distance of a candidate is the sum of its codes' LUT entries.
+
+    Scale shape: candidates are touched ONCE to encode (then only the
+    codes move — 1 int per subspace instead of dim floats); scoring is
+    codes posexploded ⋈ broadcast LUT (n_q × m × k_cb rows, driver-
+    computed from the tiny codebooks) → one sum aggregation → per-query
+    top-k window. For huge query batches you would tile the LUT join;
+    the shuffle never carries raw vectors."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    books = pq_codebooks(emb, m, k_cb, iters, dim, id_col, vec_col)
+    codes = pq_encode(emb, books, id_col, vec_col)
+    sub = dim // m
+
+    lut_rows = []
+    for q in queries.select(q_id_col, q_vec_col).collect():
+        qv = np.asarray(list(q[q_vec_col]), dtype=np.float64)
+        for j, Cj in enumerate(books):
+            d = ((qv[j * sub : (j + 1) * sub][None, :] - Cj) ** 2).sum(axis=1)
+            for c in range(len(Cj)):
+                lut_rows.append((int(q[q_id_col]), j, c, float(d[c])))
+    lut = spark.createDataFrame(
+        lut_rows, "q_id long, j int, code int, d double"
+    )
+    exploded = codes.select(
+        id_col, F.posexplode("codes").alias("j", "code")
+    )
+    scored = (
+        exploded.join(F.broadcast(lut), ["j", "code"])
+        .groupBy("q_id", id_col)
+        # rounded at 3dp with the identical expression shape on the
+        # oracle side (centroid means are fractional, so distances are
+        # floats; truncation to int would flip on last-ulp noise)
+        .agg(F.round(F.sum("d"), 3).alias("adc_dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_dist", id_col)
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

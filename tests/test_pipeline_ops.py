@@ -627,3 +627,68 @@ def test_fingerprint_and_repetition_short_docs(spark):
     rep = {r.doc_id: r for r in repetition_signals(df).collect()}
     assert set(rep) == {1, 2, 3, 4}  # no crash on 0/1-token docs
     assert rep[1].top_2gram_frac == 0.0 and rep[3].n_lines == 1
+
+
+def test_pq_adc_matches_numpy_twin(spark):
+    import numpy as np
+
+    from myaku_spark.operators.similarity import pq_adc_topk
+
+    rng = np.random.RandomState(11)
+    dim, m, k_cb, iters, k = 16, 4, 4, 2, 3
+    X = rng.randn(60, dim).round(3)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    qdf = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in (0, 1)],
+        "q_id long, q_emb array<double>",
+    )
+    out = {
+        (r.q_id, r.rank): (r.vec_id, r.adc_dist)
+        for r in pq_adc_topk(
+            df, qdf, k=k, m=m, k_cb=k_cb, iters=iters, dim=dim
+        ).collect()
+    }
+
+    # numpy twin: per-subspace Lloyd (init = lowest ids), encode, ADC
+    sub = dim // m
+    books = []
+    for j in range(m):
+        Xj = X[:, j * sub : (j + 1) * sub].astype(np.float64)
+        C = Xj[:k_cb].copy()
+        for _ in range(iters):
+            d = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            for cl in range(k_cb):
+                if (a == cl).any():
+                    C[cl] = Xj[a == cl].mean(axis=0)
+        books.append(C)
+    codes = np.stack(
+        [
+            ((X[:, j * sub : (j + 1) * sub][:, None, :] - books[j][None]) ** 2)
+            .sum(axis=2)
+            .argmin(axis=1)
+            for j in range(m)
+        ],
+        axis=1,
+    )
+    for qi in (0, 1):
+        luts = [
+            ((X[qi, j * sub : (j + 1) * sub][None, :] - books[j]) ** 2).sum(
+                axis=1
+            )
+            for j in range(m)
+        ]
+        dist = np.array(
+            [sum(luts[j][codes[i, j]] for j in range(m)) for i in range(len(X))]
+        )
+        order = sorted(range(len(X)), key=lambda i: (round(dist[i], 9), i))
+        for r in range(1, k + 1):
+            vid, dd = out[(qi, r)]
+            assert vid == order[r - 1]
+            assert abs(dd - round(dist[order[r - 1]], 3)) < 1e-9
+        # the query's own vector has distance == its cell distortion,
+        # and for q in the corpus its own code cell is its argmin cell
+        assert out[(qi, 1)][0] == qi or dist[qi] == dist[out[(qi, 1)][0]]
