@@ -1805,17 +1805,18 @@ PHRASE = ["slow", "hash", "batch"]  # phrase gate: 8 occurrences in 5 docs
 PHRASE_K = 10
 
 
-def q_phrase_search(spark, sf_dir):
-    """Positional phrase search end-to-end THROUGH the segment codec:
-    whitespace postings with (start, len) positions → build_segments
-    (delta+varint block encode) → decode_postings → position
-    chain-match (gap=1 for the space separator) → top-k by phrase_tf.
-    The oracle replays the adjacency join relationally over the same
-    token offsets."""
+def _phrase_gate(spark, sf_dir, terms, slop=0):
+    """Shared phrase/proximity gate plumbing: whitespace postings with
+    (start, len) positions → build_segments (delta+varint block encode)
+    → decode_postings → position chain-match (gap=1 for the space
+    separator) → top-k by phrase_tf. Top-k is driver-sized by contract
+    (<= PHRASE_K rows); returning a local DataFrame lets the persisted
+    postings be released here instead of leaking into the session
+    cache."""
     from myaku_spark.operators.phrase import phrase_match, decode_postings
     from myaku_spark.operators.segments import build_segments
 
-    toks = _tokens(spark, sf_dir).filter(F.col("term").isin(PHRASE))
+    toks = _tokens(spark, sf_dir).filter(F.col("term").isin(terms))
     postings = toks.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("int").alias("tf"),
         F.array_sort(
@@ -1831,18 +1832,22 @@ def q_phrase_search(spark, sf_dir):
     segs = build_segments(postings, payload_col="score")
     dec = decode_postings(segs)
     rows = (
-        phrase_match(dec, PHRASE, gap=1)
+        phrase_match(dec, terms, gap=1, slop=slop)
         .orderBy(F.desc("phrase_tf"), "doc_id")
         .limit(PHRASE_K)
         .collect()
     )
     postings.unpersist()
-    # top-k is driver-sized by contract (<= PHRASE_K rows); returning a
-    # local DataFrame lets the persisted postings be released here
-    # instead of leaking into the session cache.
     return spark.createDataFrame(
         rows, "doc_id long, phrase_tf long, match_starts array<int>"
     )
+
+
+def q_phrase_search(spark, sf_dir):
+    """Positional phrase search end-to-end THROUGH the segment codec;
+    the oracle replays the adjacency join relationally over the same
+    token offsets."""
+    return _phrase_gate(spark, sf_dir, PHRASE)
 
 
 PROX = ["slow", "batch"]  # proximity gate: ordered within-window pair
@@ -1854,33 +1859,7 @@ def q_proximity_search(spark, sf_dir):
     within the window — catches both the adjacent pair and the
     'slow hash batch' trigram. Same decode path as phrase_search;
     chains branch over every in-window occurrence."""
-    from myaku_spark.operators.phrase import decode_postings, phrase_match
-    from myaku_spark.operators.segments import build_segments
-
-    toks = _tokens(spark, sf_dir).filter(F.col("term").isin(PROX))
-    postings = toks.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("int").alias("tf"),
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    F.col("start").cast("int").alias("start"),
-                    F.col("len").cast("int").alias("len"),
-                )
-            )
-        ).alias("positions"),
-    ).withColumn("score", F.col("tf")).persist()
-    segs = build_segments(postings, payload_col="score")
-    dec = decode_postings(segs)
-    rows = (
-        phrase_match(dec, PROX, gap=1, slop=PROX_SLOP)
-        .orderBy(F.desc("phrase_tf"), "doc_id")
-        .limit(PHRASE_K)
-        .collect()
-    )
-    postings.unpersist()
-    return spark.createDataFrame(
-        rows, "doc_id long, phrase_tf long, match_starts array<int>"
-    )
+    return _phrase_gate(spark, sf_dir, PROX, slop=PROX_SLOP)
 
 
 CUR_TWINS = 30  # seeded exact-duplicate twins so the dedup stage bites
@@ -1916,6 +1895,9 @@ def q_curation_funnel(spark, sf_dir):
         )
     )
     inp = docs.unionByName(twins)
+    from myaku_spark.operators.lm import train_bigram_lm
+
+    lm = train_bigram_lm(inp)
     flags = curate_flags(
         inp,
         lang="en",
@@ -1926,8 +1908,15 @@ def q_curation_funnel(spark, sf_dir):
         weights=CUR_WEIGHTS,
         default_rate=CUR_DEFAULT_RATE,
         salt=CUR_SALT,
+        lm=lm,
     )
-    return curate_metrics(flags)
+    # funnel is driver-sized by construction (one row per stage):
+    # materialize it so the fitted model's cache can be released here
+    rows = curate_metrics(flags).collect()
+    lm.release()
+    return spark.createDataFrame(
+        rows, "stage_idx int, stage string, n_docs long"
+    )
 
 
 QUERIES = {

@@ -170,8 +170,14 @@ def encode_block_arrays(
     return zlib.compress(b"".join(parts), _ZLIB_LEVEL)
 
 
-def decode_block(blob: bytes) -> dict:
-    """Inverse of encode_block → dict(doc_ids, tfs, scores?, positions?)."""
+def decode_block(blob: bytes, pos_arrays: bool = False) -> dict:
+    """Inverse of encode_block → dict(doc_ids, tfs, scores?, positions?).
+
+    ``pos_arrays=True`` returns positions as parallel per-posting numpy
+    arrays ("pos_starts"/"pos_lens", np.split views — zero copies)
+    instead of per-position (start, len) tuple lists; the bulk-decode
+    path (decode_postings) uses this to skip millions of throwaway
+    tuples on head terms."""
     raw = zlib.decompress(blob)
     vals = varint_decode(raw)  # decode the full varint stream once
     # Stream layout is self-describing except the two flag bytes, which
@@ -199,7 +205,10 @@ def decode_block(blob: bytes) -> dict:
         # cumsum value at each posting's boundary (exclusive).
         tf_i = tfs.astype(np.int64)
         if tf_i.size == 0:
-            out["positions"] = []
+            if pos_arrays:
+                out["pos_starts"], out["pos_lens"] = [], []
+            else:
+                out["positions"] = []
             return out
         deltas = flat[0::2].astype(np.int64)
         lens = flat[1::2].astype(np.int64)
@@ -208,8 +217,14 @@ def decode_block(blob: bytes) -> dict:
         base = np.where(gstart > 0, s[np.maximum(gstart - 1, 0)], 0)
         starts = s - np.repeat(base, tf_i)
         bounds = np.cumsum(tf_i)[:-1]
-        out["positions"] = [
-            list(zip(a.tolist(), b.tolist()))
-            for a, b in zip(np.split(starts, bounds), np.split(lens, bounds))
-        ]
+        if pos_arrays:
+            out["pos_starts"] = np.split(starts, bounds)
+            out["pos_lens"] = np.split(lens, bounds)
+        else:
+            out["positions"] = [
+                list(zip(a.tolist(), b.tolist()))
+                for a, b in zip(
+                    np.split(starts, bounds), np.split(lens, bounds)
+                )
+            ]
     return out

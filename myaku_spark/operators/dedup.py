@@ -57,28 +57,16 @@ def shingles(
     computed JVM-side via slice/transform over the split array, then
     exploded. No Python, no per-doc window.
 
-    The split is materialized in its OWN projection first: slice(split(
-    text), i, k) inside the lambda would re-evaluate the whole split per
-    shingle (quadratic per doc — measured 8x on the sf1 boilerplate
-    query). Docs with fewer than k tokens yield no shingles: the
-    sequence() is guarded with CASE because Spark's sequence(1, 0)
-    counts DOWN to [1, 0] and slice(toks, 0, k) then throws."""
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.split(F.col(text_col), r"\s+").alias("_toks"),
+    Short docs (< k tokens) yield no shingles; the materialize-then-
+    slice + CASE-guard mechanics live in textstats.token_gram_rows
+    (measured 8x on the sf1 boilerplate query before the fix)."""
+    from myaku_spark.operators.textstats import token_gram_rows
+
+    sh = token_gram_rows(
+        df, k, f"concat_ws(' ', slice(_toks, i, {k}))", "shingle",
+        text_col, id_col,
     )
-    sh = F.expr(
-        f"""transform(
-          CASE WHEN size(_toks) >= {k}
-               THEN sequence(1, size(_toks) - {k - 1})
-               ELSE array() END,
-          i -> concat_ws(' ', slice(_toks, i, {k})))"""
-    )
-    return (
-        base.select("doc_id", F.explode(sh).alias("shingle"))
-        .filter(F.length("shingle") > 0)
-        .distinct()
-    )
+    return sh.filter(F.length("shingle") > 0).distinct()
 
 
 def minhash_signatures(

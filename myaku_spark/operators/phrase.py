@@ -43,19 +43,23 @@ def decode_postings(segments: DataFrame, deleted=None) -> DataFrame:
         for pdf in it:
             out = {"term": [], "doc_id": [], "tf": [], "starts": [], "lens": []}
             for term, blob in zip(pdf["term"], pdf["blob"]):
-                dec = decode_block(bytes(blob))
+                dec = decode_block(bytes(blob), pos_arrays=True)
                 ids = dec["doc_ids"].astype(np.int64)
                 keep = np.ones(ids.size, dtype=bool)
                 if deleted is not None and deleted.value.size:
                     keep = ~np.isin(ids, deleted.value, assume_unique=False)
-                pos = dec.get("positions") or [[]] * ids.size
+                ps = dec.get("pos_starts")
+                pl = dec.get("pos_lens")
                 for j in np.nonzero(keep)[0]:
-                    plist = pos[j]
                     out["term"].append(term)
                     out["doc_id"].append(int(ids[j]))
                     out["tf"].append(int(dec["tfs"][j]))
-                    out["starts"].append([int(s) for s, _ in plist])
-                    out["lens"].append([int(ln) for _, ln in plist])
+                    out["starts"].append(
+                        ps[j].tolist() if ps is not None else []
+                    )
+                    out["lens"].append(
+                        pl[j].tolist() if pl is not None else []
+                    )
             yield pd.DataFrame(out)
 
     return segments.select("term", "blob").mapInPandas(gen, POSTINGS_SCHEMA)
@@ -83,6 +87,8 @@ def phrase_match(
     projection of Catalyst HOFs over that row — no per-term self-joins,
     no branch recomputation of the postings lineage, one shuffle whose
     volume is exactly the phrase terms' postings."""
+    if not terms:
+        raise ValueError("phrase requires at least one term")
     tm = (
         postings.filter(F.col("term").isin(list(terms)))
         .groupBy("doc_id")

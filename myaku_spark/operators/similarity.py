@@ -370,13 +370,17 @@ def pq_codebooks(
     contiguous subspaces of dim/m and run the SAME deterministic Lloyd
     fit on each — the standard PQ training step, m small Lloyd loops
     whose per-round cost is one map-side pass each (kmeans_fit)."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
     sub = dim // m
     books = []
     for j in range(m):
         sliced = emb.select(
             id_col, F.slice(F.col(vec_col), j * sub + 1, sub).alias(vec_col)
         )
-        books.append(kmeans_fit(sliced, k=k, iters=iters, id_col=id_col))
+        books.append(
+            kmeans_fit(sliced, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+        )
     return books
 
 

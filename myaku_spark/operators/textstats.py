@@ -147,28 +147,45 @@ def token_counts(
     )
 
 
+
+def token_gram_rows(
+    df: DataFrame,
+    k: int,
+    gram_sql: str,
+    out_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exploded k-token grams over a whitespace split — THE shared
+    materialize-then-slice pattern: the token array gets its own
+    projection (slice(split(text)) inside a lambda re-evaluates the
+    split per gram, quadratic per doc) and the index sequence is
+    CASE-guarded (Spark's sequence(1, 0) counts DOWN and slice(_, 0, k)
+    throws on docs shorter than k). ``gram_sql`` is the per-gram SQL
+    over (_toks, i)."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), r"\s+").alias("_toks"),
+    )
+    expr = (
+        f"transform(CASE WHEN size(_toks) >= {k}"
+        f" THEN sequence(1, size(_toks) - {k - 1})"
+        f" ELSE array() END, i -> {gram_sql})"
+    )
+    return base.select("doc_id", F.explode(F.expr(expr)).alias(out_col))
+
+
 def rolling_fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", window: int = 8
 ) -> DataFrame:
     """Winnowing-style document fingerprints: hash every ``window``-gram of
     tokens, keep per-doc minima per band — robust content fingerprints for
     fuzzy matching. Returns (doc_id, band, fp)."""
-    # Token array materialized first (slice(split(...)) inside the
-    # lambda re-evaluates the split per gram — quadratic), and the
-    # sequence is CASE-guarded (sequence(1, 0) counts DOWN and
-    # slice(_, 0, k) throws on docs shorter than the window).
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.split(F.col(text_col), r"\s+").alias("_toks"),
+    g = token_gram_rows(
+        df, window,
+        f"xxhash64(concat_ws(' ', slice(_toks, i, {window})))",
+        "gh", text_col, id_col,
     )
-    grams = F.expr(
-        f"""transform(
-          CASE WHEN size(_toks) >= {window}
-               THEN sequence(1, size(_toks) - {window - 1})
-               ELSE array() END,
-          i -> xxhash64(concat_ws(' ', slice(_toks, i, {window}))))"""
-    )
-    g = base.select("doc_id", F.explode(grams).alias("gh"))
     return g.groupBy("doc_id", F.pmod(F.col("gh"), F.lit(4)).alias("band")).agg(
         F.min("gh").alias("fp")
     )
@@ -195,23 +212,9 @@ def repetition_signals(
         F.count(F.lit(1)).alias("n_lines"),
         F.countDistinct("line").alias("n_distinct_lines"),
     )
-    # same materialize-then-slice + CASE guard as rolling_fingerprint
-    # (single-token docs crashed the down-counting sequence; the split
-    # inside the lambda was quadratic)
-    grams = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.split(text, r"\s+").alias("_toks"),
-    ).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                """transform(
-                  CASE WHEN size(_toks) >= 2
-                       THEN sequence(1, size(_toks) - 1)
-                       ELSE array() END,
-                  i -> concat_ws(' ', slice(_toks, i, 2)))"""
-            )
-        ).alias("gram"),
+    grams = token_gram_rows(
+        df, 2, "concat_ws(' ', slice(_toks, i, 2))", "gram",
+        text_col, id_col,
     ).filter(F.length("gram") > 0)
     gram_counts = grams.groupBy("doc_id", "gram").agg(
         F.count(F.lit(1)).alias("cnt")
@@ -299,6 +302,28 @@ def uniform_hash(key: Column, salt: str) -> Column:
     return h.cast("double") / float(1 << 56)
 
 
+def rate_column(
+    weights: dict[str, float] | None,
+    domain_col: str = "source",
+    default_rate: float = 0.0,
+) -> Column:
+    """Per-domain sampling rate as a CASE chain (shared by
+    weighted_sample and the curation funnel)."""
+    rate = None
+    for dom, w in sorted((weights or {}).items()):
+        cond = F.col(domain_col) == dom
+        rate = (
+            F.when(cond, F.lit(float(w)))
+            if rate is None
+            else rate.when(cond, F.lit(float(w)))
+        )
+    return (
+        rate.otherwise(F.lit(float(default_rate)))
+        if rate is not None
+        else F.lit(float(default_rate))
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     weights: dict[str, float],
@@ -314,17 +339,4 @@ def weighted_sample(
     strict subset (the hash threshold property). A filter-only plan:
     pushes past scans, no shuffle, identical at any scale."""
     u = uniform_hash(F.col(key_col), salt)
-    rate = None
-    for dom, w in sorted(weights.items()):
-        cond = F.col(domain_col) == dom
-        rate = (
-            F.when(cond, F.lit(float(w)))
-            if rate is None
-            else rate.when(cond, F.lit(float(w)))
-        )
-    rate = (
-        rate.otherwise(F.lit(float(default_rate)))
-        if rate is not None
-        else F.lit(float(default_rate))
-    )
-    return df.filter(u < rate)
+    return df.filter(u < rate_column(weights, domain_col, default_rate))

@@ -49,20 +49,27 @@ def curate_flags(
     weights: dict[str, float] | None = None,
     default_rate: float = 0.3,
     salt: str = "cur0",
+    lm=None,
 ) -> DataFrame:
     """Per-doc stage flags: (doc_id, source, f_lang, f_len, f_dedup,
     f_bp, f_ppl, f_sample). Boilerplate ratios and the LM are computed
     over the FULL input corpus (deterministic and oracle-mirrorable);
     the dedup winner is the min doc_id among docs passing the earlier
-    stages."""
+    stages.
+
+    ``lm``: pass a pre-fit BigramLM to control its cache lifetime
+    (call lm.release() after the flags are materialized); when omitted
+    one is fitted here and stays resident (lm.py model-residency
+    semantics)."""
     from myaku_spark.operators.dedup import boilerplate_ngrams
     from myaku_spark.operators.lm import perplexity, train_bigram_lm
-    from myaku_spark.operators.textstats import uniform_hash
+    from myaku_spark.operators.textstats import rate_column, uniform_hash
 
     bp = boilerplate_ngrams(
         docs, k=bp_k, min_docs=bp_min_docs, max_ratio=bp_max_ratio
     ).select("doc_id", F.col("keep").alias("_bp_keep"))
-    lm = train_bigram_lm(docs)
+    if lm is None:
+        lm = train_bigram_lm(docs)
     pp = perplexity(docs, lm).select("doc_id", "ppl")
 
     f_lang = F.col("lang") == lang
@@ -73,20 +80,9 @@ def curate_flags(
         F.when(prev_ok, F.col("doc_id"))
     ).over(w)
 
-    rate = None
-    for dom, wt in sorted((weights or {}).items()):
-        cond = F.col("source") == dom
-        rate = (
-            F.when(cond, F.lit(float(wt)))
-            if rate is None
-            else rate.when(cond, F.lit(float(wt)))
-        )
-    rate = (
-        rate.otherwise(F.lit(float(default_rate)))
-        if rate is not None
-        else F.lit(float(default_rate))
+    f_sample = uniform_hash(F.col("doc_id"), salt) < rate_column(
+        weights, "source", default_rate
     )
-    f_sample = uniform_hash(F.col("doc_id"), salt) < rate
 
     return (
         docs.join(bp, "doc_id", "left")
