@@ -1,0 +1,89 @@
+"""spark-submit entry point for the training-data curation funnel.
+
+Cluster:
+    spark-submit --py-files myaku_spark.zip scripts/run_curate.py \
+        --docs <documents parquet path> --out <curated dir> \
+        --lang en --min-chars 180 --ppl-max 30.2
+
+Sandbox:
+    python scripts/run_curate.py --docs /root/testdata/sf0.01/documents.parquet \
+        --out /tmp/curated
+
+Writes the curated corpus to <out>/docs and the survivor funnel to
+<out>/funnel (both parquet), and prints one JSON line with the
+per-stage counts + wall seconds. The fitted LM is released after the
+funnel materializes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", required=True, help="documents parquet path")
+    ap.add_argument("--out", required=True, help="output dir")
+    ap.add_argument("--lang", default="en")
+    ap.add_argument("--min-chars", type=int, default=180)
+    ap.add_argument("--ppl-max", type=float, default=30.2)
+    ap.add_argument("--bp-min-docs", type=int, default=5)
+    ap.add_argument("--bp-max-ratio", type=float, default=0.1)
+    ap.add_argument("--default-rate", type=float, default=1.0)
+    ap.add_argument("--salt", default="cur0")
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from myaku_spark.operators.lm import train_bigram_lm
+    from myaku_spark.plans.curate import curate_flags, curate_metrics
+    from myaku_spark.session import get_spark
+
+    spark = get_spark("run_curate", parallelism=args.cpus)
+    t0 = time.time()
+    docs = spark.read.parquet(args.docs)
+    lm = train_bigram_lm(docs)
+    flags = curate_flags(
+        docs,
+        lang=args.lang,
+        min_chars=args.min_chars,
+        bp_min_docs=args.bp_min_docs,
+        bp_max_ratio=args.bp_max_ratio,
+        ppl_max=args.ppl_max,
+        default_rate=args.default_rate,
+        salt=args.salt,
+        lm=lm,
+    ).persist()
+    keep = (
+        F.col("f_lang") & F.col("f_len") & F.col("f_dedup")
+        & F.col("f_bp") & F.col("f_ppl") & F.col("f_sample")
+    )
+    docs.join(
+        flags.filter(keep).select("doc_id"), "doc_id", "leftsemi"
+    ).write.mode("overwrite").parquet(os.path.join(args.out, "docs"))
+    funnel = curate_metrics(flags).collect()
+    flags.unpersist()
+    lm.release()
+    spark.createDataFrame(
+        funnel, "stage_idx int, stage string, n_docs long"
+    ).write.mode("overwrite").parquet(os.path.join(args.out, "funnel"))
+    print(
+        json.dumps(
+            {
+                "stages": {r.stage: r.n_docs for r in funnel},
+                "wall_sec": round(time.time() - t0, 3),
+                "out": args.out,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
