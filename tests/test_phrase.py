@@ -266,3 +266,43 @@ def test_proximity_slop(spark):
             ).collect()
         }
         assert got == _brute_slop(docs3, ["a", "b", "c"], slop), slop
+
+
+def test_phrase_excludes_tombstones(spark, tmp_path):
+    import datetime as dt
+
+    from myaku_spark.plans.build_index import build_index
+    from myaku_spark.plans.incremental import incremental_update, load_tombstones
+    from myaku_spark.sources.pages import PAGES_SCHEMA, synth_page, synth_pages_df
+
+    d = str(tmp_path / "tidx")
+    now = "2026-08-01 00:00:00"
+    build_index(
+        spark, synth_pages_df(spark, 20, partitions=2), d,
+        n_groups=1, now=now, head_df_threshold=16, block_doc_range=16,
+    )
+    # re-index one url with different content -> old doc tombstoned
+    p0, pX = synth_page(0), synth_page(7700)
+    mod = spark.createDataFrame(
+        [(p0["url"], dt.datetime(2026, 2, 1), pX["html"], pX["text"], "ja")],
+        PAGES_SCHEMA,
+    )
+    incremental_update(spark, d, mod, now=now)
+    tombs = load_tombstones(spark, d)
+    assert tombs
+    # any single-term "phrase" must never surface a tombstoned doc
+    from myaku_spark.plans import catalog
+    from pyspark.sql import functions as F2
+
+    _, paths = catalog.resolve(d)
+    terms = [
+        r.term
+        for r in spark.read.parquet(paths["segments"])
+        .select("term").distinct().limit(5).collect()
+    ]
+    for t in terms:
+        got = {
+            r.doc_id
+            for r in phrase_search(spark, d, [t], k=1000, gap=0).collect()
+        }
+        assert not (got & tombs), t
