@@ -1411,6 +1411,54 @@ def q_tpch_revenue_topk(spark, sf_dir):
     )
 
 
+def q_tpch_order_priority(spark, sf_dir):
+    """Q4-shape: order counts per priority for orders in a window that
+    have at least one returned lineitem — the EXISTS becomes a LEFT
+    SEMI join against the (distinct) matching fact keys, never a
+    row-multiplying inner join."""
+    o = _tbl(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _tbl(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "leftsemi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+def q_tpch_returned_topk(spark, sf_dir):
+    """Q10-shape: top-20 customers by returned-item revenue in a
+    quarter (fact filter + broadcast dims + TakeOrderedAndProject)."""
+    li = _tbl(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _tbl(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    c = _tbl(spark, sf_dir, "customer")
+    n = _tbl(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        # exact decimal arithmetic at scale 4, NO scale reduction: the
+        # float sum was order-dependent, and even a decimal cast down to
+        # 2dp tie-rounds differently across engines (HALF_UP vs not)
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(18,2)")
+                   - F.col("l_discount").cast("decimal(18,2)"))
+            ).cast("double").alias("revenue")
+        )
+    )
+    return rev.orderBy(F.desc("revenue"), "c_custkey").limit(20)
+
+
 def q_region_rollup(spark, sf_dir):
     """Dimension join rollup: customers + balances per region (broadcast
     snowflake joins, J2-style)."""
@@ -1979,6 +2027,8 @@ QUERIES = {
     "tpch_large_orders": q_tpch_large_orders,
     "tpch_top_suppliers": q_tpch_top_suppliers,
     "tpch_revenue_topk": q_tpch_revenue_topk,
+    "tpch_order_priority": q_tpch_order_priority,
+    "tpch_returned_topk": q_tpch_returned_topk,
     "region_rollup": q_region_rollup,
 }
 
@@ -2801,6 +2851,32 @@ pack(shard, rn, doc_id, n_tokens, seq_id, seq_fill) AS (
   FROM ordered o JOIN pack p ON o.shard = p.shard AND o.rn = p.rn + 1
 )
 SELECT shard, doc_id, n_tokens, seq_id, seq_fill FROM pack
+"""
+
+ORACLE["tpch_order_priority"] = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY 1
+"""
+
+ORACLE["tpch_returned_topk"] = """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2))
+                   - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1996-04-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
 """
 
 ORACLE["kmeans_clusters"] = _kmeans_sql(KM_K, KM_ITERS)

@@ -27,6 +27,7 @@ import html as html_mod
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
     StringType,
@@ -174,13 +175,59 @@ def golden_pages_df(spark: SparkSession) -> DataFrame:
 
 
 def read_pages(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Landing-zone reader for every format a crawl might deliver.
+
+    parquet/orc keep their native types; json/csv are schema-enforced
+    against PAGES_SCHEMA with the binary ``html`` column carried
+    base64 (text formats cannot hold raw bytes) and decoded on read, so
+    downstream extraction sees identical bytes regardless of format."""
     if fmt == "iceberg":
         return spark.read.format("iceberg").load(path)
-    return spark.read.parquet(path)
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt == "orc":
+        return spark.read.orc(path)
+    if fmt in ("json", "csv"):
+        text_schema = (
+            "url string, warc_ts timestamp, html string,"
+            " text string, lang string"
+        )
+        reader = spark.read.schema(text_schema)
+        if fmt == "csv":
+            df = reader.option("header", True).option(
+                "multiLine", True
+            ).option(
+                "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss"
+            ).csv(path)
+        else:
+            df = reader.json(path)
+        return df.select(
+            "url", "warc_ts",
+            F.unbase64("html").alias("html"),
+            "text", "lang",
+        )
+    raise ValueError(f"unsupported pages format: {fmt}")
 
 
 def write_pages(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     if fmt == "iceberg":
         df.writeTo(path).createOrReplace()
-    else:
+    elif fmt == "parquet":
         df.write.mode("overwrite").parquet(path)
+    elif fmt == "orc":
+        df.write.mode("overwrite").orc(path)
+    elif fmt in ("json", "csv"):
+        out = df.select(
+            "url",
+            F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss").alias(
+                "warc_ts"
+            ),
+            F.base64("html").alias("html"),
+            "text", "lang",
+        )
+        if fmt == "csv":
+            out.write.mode("overwrite").option("header", True).csv(path)
+        else:
+            out.write.mode("overwrite").json(path)
+    else:
+        raise ValueError(f"unsupported pages format: {fmt}")

@@ -37,6 +37,11 @@ def main() -> None:
     ap.add_argument("--bp-max-ratio", type=float, default=0.1)
     ap.add_argument("--default-rate", type=float, default=1.0)
     ap.add_argument("--salt", default="cur0")
+    ap.add_argument(
+        "--out-format", default="parquet", choices=["parquet", "jsonl"],
+        help="jsonl = one JSON doc per line (the standard training-data "
+             "delivery format; Spark's json sink is line-delimited)",
+    )
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
 
@@ -65,9 +70,14 @@ def main() -> None:
         F.col("f_lang") & F.col("f_len") & F.col("f_dedup")
         & F.col("f_bp") & F.col("f_ppl") & F.col("f_sample")
     )
-    docs.join(
+    curated = docs.join(
         flags.filter(keep).select("doc_id"), "doc_id", "leftsemi"
-    ).write.mode("overwrite").parquet(os.path.join(args.out, "docs"))
+    )
+    docs_out = os.path.join(args.out, "docs")
+    if args.out_format == "jsonl":
+        curated.write.mode("overwrite").json(docs_out)
+    else:
+        curated.write.mode("overwrite").parquet(docs_out)
     funnel = curate_metrics(flags).collect()
     flags.unpersist()
     lm.release()

@@ -206,3 +206,23 @@ def test_assign_doc_ids_global_rank(spark):
              assign_doc_ids(df, ["warc_ts", "url"], n_buckets=16).collect()}
     assert all(again[(w, u)] == i for w, u, i in got)
     df.unpersist()
+
+
+def test_pages_format_roundtrip(spark, tmp_path):
+    """json/csv/orc landing formats round-trip byte-identical pages
+    (html carried base64 in the text formats)."""
+    from myaku_spark.sources.pages import read_pages, synth_pages_df, write_pages
+
+    src = synth_pages_df(spark, 6, partitions=2)
+    expect = {
+        r.url: (bytes(r.html), r.text, r.warc_ts, r.lang)
+        for r in src.collect()
+    }
+    for fmt in ("orc", "json", "csv"):
+        p = str(tmp_path / f"pages_{fmt}")
+        write_pages(src, p, fmt=fmt)
+        got = {
+            r.url: (bytes(r.html), r.text, r.warc_ts, r.lang)
+            for r in read_pages(spark, p, fmt=fmt).collect()
+        }
+        assert got == expect, fmt
