@@ -692,3 +692,26 @@ def test_pq_adc_matches_numpy_twin(spark):
         # the query's own vector has distance == its cell distortion,
         # and for q in the corpus its own code cell is its argmin cell
         assert out[(qi, 1)][0] == qi or dist[qi] == dist[out[(qi, 1)][0]]
+
+
+def test_tpch_new_shapes_plans(spark):
+    """Plan-shape evidence for the round-3 TPC-H additions: Q4's EXISTS
+    must be a LEFT SEMI join (no row multiplication), Q10's top-k must
+    be TakeOrderedAndProject (no unpartitioned window), dims broadcast."""
+    from myaku_spark.driver_queries import (
+        q_tpch_order_priority,
+        q_tpch_returned_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    p4 = (
+        q_tpch_order_priority(spark, sf)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" in p4
+    df10 = q_tpch_returned_topk(spark, sf)
+    p10 = df10._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p10
+    assert "BroadcastHashJoin" in p10
+    assert "Window" not in p10
+    assert df10.count() == 20
