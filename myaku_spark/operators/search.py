@@ -329,6 +329,49 @@ class IndexSearcher:
             deleted=self.deleted,
         )
 
+    def search_phrase(
+        self,
+        query: str | list[str],
+        k: int = PAGE_SIZE,
+        gap: int = 0,
+        slop: int = 0,
+    ) -> list[tuple[int, int, list[int]]]:
+        """Exact-phrase (or slop-window proximity) top-k:
+        [(doc_id, phrase_tf, match_starts)], ranked by phrase_tf desc.
+
+        Uses THIS searcher's catalog snapshot and tombstone vector (not
+        a fresh catalog read), so a concurrent compaction can never mix
+        versions between a term search and a phrase search on the same
+        searcher. gap=0 matches Japanese text (positions abut); gap=1
+        space-separated corpora."""
+        from myaku_spark.operators.phrase import (
+            decode_postings,
+            phrase_match,
+        )
+        from myaku_spark.operators.segments import read_term_segments
+
+        if isinstance(query, str):
+            terms = [normalize_char_width(t) for t in query.split()]
+        else:
+            terms = [normalize_char_width(t) for t in query]
+        segments = read_term_segments(
+            self.spark, self._paths["segments"], terms
+        )
+        deleted_bc = None
+        if self.deleted is not None:
+            deleted_bc = self.spark.sparkContext.broadcast(self.deleted)
+        postings = decode_postings(segments, deleted=deleted_bc)
+        rows = (
+            phrase_match(postings, terms, gap=gap, slop=slop)
+            .orderBy(F.desc("phrase_tf"), "doc_id")
+            .limit(k)
+            .collect()
+        )
+        return [
+            (int(r.doc_id), int(r.phrase_tf), list(r.match_starts))
+            for r in rows
+        ]
+
     def search(
         self,
         query: str | list[str],

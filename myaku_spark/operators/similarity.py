@@ -93,6 +93,7 @@ def ann_topk(
     queries: DataFrame,
     k: int = 10,
     n_planes: int = 8,
+    multiprobe: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     q_id_col: str = "q_id",
@@ -101,10 +102,22 @@ def ann_topk(
     """Approximate top-k: exact cosine among same-LSH-bucket candidates.
 
     Join is on the bucket (equi-join, prunable/partitionable) instead of
-    a cross join — the 100 TB path. Recall is tunable via n_planes (and
-    multi-probe variants can union several bucket sets)."""
+    a cross join — the 100 TB path. Recall is tunable via n_planes and
+    ``multiprobe``: 1 additionally probes every bucket at Hamming
+    distance 1 from the query's bucket (each sign bit flipped), the
+    standard recall/latency dial — probes multiply the QUERY side only
+    (n_planes+1 rows per query), never the candidate side."""
     cb = rp_lsh_buckets(candidates, n_planes, vec_col)
     qb = rp_lsh_buckets(queries, n_planes, q_vec_col)
+    if multiprobe:
+        flips = F.array(
+            F.col("lsh_bucket"),
+            *[
+                F.col("lsh_bucket").bitwiseXOR(F.lit(1 << p))
+                for p in range(n_planes)
+            ],
+        )
+        qb = qb.withColumn("lsh_bucket", F.explode(flips))
     joined = cb.join(F.broadcast(qb), "lsh_bucket")
     cos = _dot(vec_col, q_vec_col) / (_norm(vec_col) * _norm(q_vec_col))
     scored = joined.select(

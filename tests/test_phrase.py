@@ -306,3 +306,28 @@ def test_phrase_excludes_tombstones(spark, tmp_path):
             for r in phrase_search(spark, d, [t], k=1000, gap=0).collect()
         }
         assert not (got & tombs), t
+
+
+def test_searcher_phrase_api(spark, tmp_path):
+    """IndexSearcher.search_phrase uses the searcher's own catalog
+    snapshot + tombstones and agrees with the standalone operator."""
+    from myaku_spark.operators.search import IndexSearcher
+    from myaku_spark.plans.build_index import build_index
+    from myaku_spark.sources.pages import synth_pages_df
+
+    d = str(tmp_path / "sidx")
+    build_index(
+        spark, synth_pages_df(spark, 20, partitions=2), d,
+        n_groups=1, now="2026-08-01 00:00:00",
+        head_df_threshold=16, block_doc_range=16,
+    )
+    s = IndexSearcher(spark, d, mode="myaku")
+    term = (
+        spark.read.parquet(f"{d}/term_stats").limit(1).collect()[0].term
+    )
+    via_api = s.search_phrase([term], k=50, gap=0)
+    via_op = {
+        (r.doc_id, r.phrase_tf)
+        for r in phrase_search(spark, d, [term], k=50, gap=0).collect()
+    }
+    assert {(d_, t_) for d_, t_, _ in via_api} == via_op and via_api

@@ -715,3 +715,43 @@ def test_tpch_new_shapes_plans(spark):
     assert "BroadcastHashJoin" in p10
     assert "Window" not in p10
     assert df10.count() == 20
+
+
+def test_ann_multiprobe_recall(spark):
+    import numpy as np
+
+    from myaku_spark.operators.similarity import ann_topk, cosine_topk
+
+    rng = np.random.RandomState(5)
+    # clustered blobs: true neighbors are genuinely close, so bucket
+    # agreement is informative (pure gaussian noise has no structure
+    # for ANY hash family to find)
+    centers = rng.randn(20, 16) * 8
+    X = (centers[rng.randint(0, 20, 300)] + rng.randn(300, 16) * 0.3).round(3)
+    cand = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    qs = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(5)],
+        "q_id long, q_emb array<double>",
+    )
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in cosine_topk(cand, qs, k=10).collect()
+    }
+
+    def recall(mp):
+        got = {
+            (r.q_id, r.vec_id)
+            for r in ann_topk(cand, qs, k=10, multiprobe=mp).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r0, r1 = recall(0), recall(1)
+    assert r1 >= r0  # probing Hamming-1 buckets never loses candidates
+    assert r1 > 0.8  # and meaningfully recovers the exact set
+    # dedup check: a candidate reachable through several probed buckets
+    # must appear once per (q, vec)
+    rows = ann_topk(cand, qs, k=1000, multiprobe=1).collect()
+    assert len({(r.q_id, r.vec_id) for r in rows}) == len(rows)
