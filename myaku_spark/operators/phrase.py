@@ -262,3 +262,69 @@ def phrase_search(
     return phrase_match(postings, terms, gap=gap, slop=slop).orderBy(
         F.desc("phrase_tf"), "doc_id"
     ).limit(k)
+
+
+def batch_phrase_search(
+    spark: SparkSession,
+    source,
+    queries,
+    k: int = 10,
+    gap: int = 0,
+    slop: int = 0,
+) -> DataFrame:
+    """N phrase queries evaluated against ONE decode of the union of
+    their terms: per-query chain-match plans union into a single
+    action (parallel stages over the shared cached postings), top-k
+    per query, results materialized driver-side (N×k rows — driver-
+    sized by construction) so the postings cache is released before
+    returning. ``queries``: list[(query_id, [terms])]. Returns
+    (query_id, rank, doc_id, phrase_tf, match_starts)."""
+    from pyspark.sql import Window
+
+    all_terms = sorted({t for _, terms in queries for t in terms})
+    deleted_bc = None
+    if isinstance(source, DataFrame):
+        segments = source.filter(F.col("term").isin(all_terms))
+    else:
+        from myaku_spark.operators.segments import read_term_segments
+        from myaku_spark.plans import catalog
+        from myaku_spark.plans.incremental import load_tombstones
+
+        _, paths = catalog.resolve(source)
+        segments = read_term_segments(spark, paths["segments"], all_terms)
+        deleted = load_tombstones(spark, source, path=paths["tombstones"])
+        if deleted:
+            arr = np.sort(
+                np.fromiter(deleted, dtype=np.int64, count=len(deleted))
+            )
+            deleted_bc = spark.sparkContext.broadcast(arr)
+    postings = decode_postings(segments, deleted=deleted_bc).persist()
+    per_q = None
+    for qid, terms in queries:
+        m = phrase_match(postings, list(terms), gap=gap, slop=slop).select(
+            F.lit(str(qid)).alias("query_id"),
+            "doc_id", "phrase_tf", "match_starts",
+        )
+        per_q = m if per_q is None else per_q.unionByName(m)
+    if per_q is None:
+        postings.unpersist()
+        return spark.createDataFrame(
+            [],
+            "query_id string, rank int, doc_id long, phrase_tf long,"
+            " match_starts array<int>",
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("phrase_tf"), "doc_id"
+    )
+    rows = (
+        per_q.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "phrase_tf", "match_starts")
+        .collect()
+    )
+    postings.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "query_id string, rank int, doc_id long, phrase_tf long,"
+        " match_starts array<int>",
+    )

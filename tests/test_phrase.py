@@ -331,3 +331,21 @@ def test_searcher_phrase_api(spark, tmp_path):
         for r in phrase_search(spark, d, [term], k=50, gap=0).collect()
     }
     assert {(d_, t_) for d_, t_, _ in via_api} == via_op and via_api
+
+
+def test_batch_phrase_equals_per_query(spark):
+    from myaku_spark.operators.phrase import batch_phrase_search
+
+    segs = _segments_for(spark, DOCS)
+    queries = [("p1", ["a", "b"]), ("p2", ["a", "b", "a"]), ("p3", ["b", "a"])]
+    batch = {}
+    for r in batch_phrase_search(spark, segs, queries, k=10, gap=1).collect():
+        batch.setdefault(r.query_id, {})[r.doc_id] = (
+            r.phrase_tf, list(r.match_starts)
+        )
+    for qid, terms in queries:
+        single = {
+            r.doc_id: (r.phrase_tf, list(r.match_starts))
+            for r in phrase_search(spark, segs, terms, k=10, gap=1).collect()
+        }
+        assert batch.get(qid, {}) == single, qid
