@@ -1883,11 +1883,19 @@ def _phrase_gate(spark, sf_dir, terms, slop=0):
         phrase_match(dec, terms, gap=1, slop=slop)
         .orderBy(F.desc("phrase_tf"), "doc_id")
         .limit(PHRASE_K)
+        # match_starts canonicalized to a comma-joined string: array
+        # columns have never crossed the driver's value hasher (every
+        # prior gate projects scalars) and engines may stringify lists
+        # differently in its normalizer
+        .select(
+            "doc_id", "phrase_tf",
+            F.array_join("match_starts", ",").alias("match_starts"),
+        )
         .collect()
     )
     postings.unpersist()
     return spark.createDataFrame(
-        rows, "doc_id long, phrase_tf long, match_starts array<int>"
+        rows, "doc_id long, phrase_tf long, match_starts string"
     )
 
 
@@ -2952,7 +2960,7 @@ m AS (
   JOIN t2 ON t2.doc_id = t0.doc_id AND t2.start = t1.e + 1
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS phrase_tf,
-       list(head ORDER BY head) AS match_starts
+       array_to_string(list(head ORDER BY head), ',') AS match_starts
 FROM m GROUP BY doc_id
 ORDER BY phrase_tf DESC, doc_id
 LIMIT {PHRASE_K}
@@ -3080,7 +3088,7 @@ m AS (
    AND t1.start BETWEEN t0.e + 1 AND t0.e + 1 + {PROX_SLOP}
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS phrase_tf,
-       list(head ORDER BY head) AS match_starts
+       array_to_string(list(head ORDER BY head), ',') AS match_starts
 FROM m GROUP BY doc_id
 ORDER BY phrase_tf DESC, doc_id
 LIMIT {PHRASE_K}
