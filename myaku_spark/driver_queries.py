@@ -1411,6 +1411,29 @@ def q_tpch_revenue_topk(spark, sf_dir):
     )
 
 
+def q_tpch_filter_revenue(spark, sf_dir):
+    """Q6-shape: pure filter + aggregate — every predicate must reach
+    the parquet scan (PushedFilters), no join, no shuffle beyond the
+    single partial/final agg pair. DECIMAL-exact product sum."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_discount").cast("decimal(18,2)")
+            ).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
 def q_tpch_order_priority(spark, sf_dir):
     """Q4-shape: order counts per priority for orders in a window that
     have at least one returned lineitem — the EXISTS becomes a LEFT
@@ -2036,6 +2059,7 @@ QUERIES = {
     "tpch_top_suppliers": q_tpch_top_suppliers,
     "tpch_revenue_topk": q_tpch_revenue_topk,
     "tpch_order_priority": q_tpch_order_priority,
+    "tpch_filter_revenue": q_tpch_filter_revenue,
     "tpch_returned_topk": q_tpch_returned_topk,
     "region_rollup": q_region_rollup,
 }
@@ -2859,6 +2883,15 @@ pack(shard, rn, doc_id, n_tokens, seq_id, seq_fill) AS (
   FROM ordered o JOIN pack p ON o.shard = p.shard AND o.rn = p.rn + 1
 )
 SELECT shard, doc_id, n_tokens, seq_id, seq_fill FROM pack
+"""
+
+ORACLE["tpch_filter_revenue"] = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+              * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
 """
 
 ORACLE["tpch_order_priority"] = """

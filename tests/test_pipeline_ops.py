@@ -755,3 +755,13 @@ def test_ann_multiprobe_recall(spark):
     # must appear once per (q, vec)
     rows = ann_topk(cand, qs, k=1000, multiprobe=1).collect()
     assert len({(r.q_id, r.vec_id) for r in rows}) == len(rows)
+
+
+def test_tpch_q6_pushdown(spark):
+    from myaku_spark.driver_queries import q_tpch_filter_revenue
+
+    df = q_tpch_filter_revenue(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+    assert "Join" not in plan
+    assert df.count() == 1
