@@ -11,20 +11,20 @@ filtered DataFrames: every stage contributes a boolean column, a doc
 survives stage s iff the conjunction of flags 1..s holds, and the whole
 per-stage survivor funnel is a single aggregation over the flags (no
 O(S²) recomputation of stage prefixes, no intermediate materialization).
-The only stage whose flag depends on other rows — dedup — is a window
-min over the text hash restricted to docs alive at that point, which is
-exactly first-writer-wins among upstream survivors.
+The only stage whose flag depends on other rows — dedup — is a
+skew-safe groupBy(md5(text)).min(doc_id) over upstream survivors
+joined back (first-writer-wins with map-side combine — no hot window
+partition under viral duplicates).
 
-Scale shape: two equi-joins (boilerplate ratios, LM scores — both
-reuse their operators' shuffle shapes), one window partitioned by text
-hash (bounded by the largest duplicate group), and a hash-threshold
-sample that is a pure filter. The funnel metrics are one aggregation
+Scale shape: three equi-joins (dedup winners, boilerplate ratios, LM
+scores — each reusing its operator's shuffle shape) and a
+hash-threshold sample that is a pure filter. The funnel metrics are one aggregation
 row unpivoted with stack().
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 STAGES = [
@@ -75,17 +75,26 @@ def curate_flags(
     f_lang = F.col("lang") == lang
     f_len = F.col("n_chars") >= min_chars
     prev_ok = f_lang & f_len
-    w = Window.partitionBy(F.md5(F.col("text")))
-    f_dedup = F.col("doc_id") == F.min(
-        F.when(prev_ok, F.col("doc_id"))
-    ).over(w)
+    # First-writer-wins via groupBy + join rather than a window over
+    # md5(text): the aggregation gets a map-side combine, so a virally
+    # duplicated page (10^8 copies of one hash at web scale) reduces
+    # per-partition before the shuffle instead of funnelling into one
+    # hot window partition; the join's build side is one row per hash.
+    winners = (
+        docs.filter(prev_ok)
+        .groupBy(F.md5(F.col("text")).alias("_h"))
+        .agg(F.min("doc_id").alias("_win"))
+    )
+    f_dedup = F.col("doc_id") == F.col("_win")
 
     f_sample = uniform_hash(F.col("doc_id"), salt) < rate_column(
         weights, "source", default_rate
     )
 
     return (
-        docs.join(bp, "doc_id", "left")
+        docs.withColumn("_h", F.md5(F.col("text")))
+        .join(winners, "_h", "left")
+        .join(bp, "doc_id", "left")
         .join(pp, "doc_id", "left")
         .select(
             "doc_id",
