@@ -36,14 +36,20 @@ MH_PRIME = 2147483647
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """First-writer-wins exact dedup: one surviving row per content hash."""
+    """First-writer-wins exact dedup: one surviving row per content hash.
+
+    Skew-safe shape: groupBy(hash).min(id) gets a map-side combine, so
+    a virally duplicated page reduces per-partition before the shuffle
+    (a window over the hash would funnel every copy into one partition);
+    the join-back's build side is one row per hash. Equivalent to
+    row_number()==1 because ``id_col`` is unique."""
     h = F.sha2(F.encode(F.col(text_col), "UTF-8"), 256)
-    w = Window.partitionBy("_h").orderBy(id_col)
+    hashed = df.withColumn("_h", h)
+    winners = hashed.groupBy("_h").agg(F.min(id_col).alias("_win"))
     return (
-        df.withColumn("_h", h)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_h", "_rn")
+        hashed.join(winners, "_h")
+        .filter(F.col(id_col) == F.col("_win"))
+        .drop("_h", "_win")
     )
 
 
