@@ -42,8 +42,13 @@ def exact_dedup(
     a virally duplicated page reduces per-partition before the shuffle
     (a window over the hash would funnel every copy into one partition);
     the join-back's build side is one row per hash. Equivalent to
-    row_number()==1 because ``id_col`` is unique."""
-    h = F.sha2(F.encode(F.col(text_col), "UTF-8"), 256)
+    row_number()==1 because ``id_col`` is unique. NULL text coalesces
+    to a sentinel hash so null-text rows dedup first-writer-wins like
+    any other group (a bare join on a NULL key would silently drop
+    them all — null-rejecting equality)."""
+    h = F.coalesce(
+        F.sha2(F.encode(F.col(text_col), "UTF-8"), 256), F.lit("~null~")
+    )
     hashed = df.withColumn("_h", h)
     winners = hashed.groupBy("_h").agg(F.min(id_col).alias("_win"))
     return (

@@ -308,6 +308,8 @@ def batch_phrase_search(
         per_q = m if per_q is None else per_q.unionByName(m)
     if per_q is None:
         postings.unpersist()
+        if deleted_bc is not None:
+            deleted_bc.destroy()
         return spark.createDataFrame(
             [],
             "query_id string, rank int, doc_id long, phrase_tf long,"
@@ -323,6 +325,8 @@ def batch_phrase_search(
         .collect()
     )
     postings.unpersist()
+    if deleted_bc is not None:
+        deleted_bc.destroy()
     return spark.createDataFrame(
         rows,
         "query_id string, rank int, doc_id long, phrase_tf long,"

@@ -288,6 +288,7 @@ class IndexSearcher:
             if deleted
             else None
         )
+        self._deleted_bc = None  # lazily created, cached per searcher
         self._docs_path = self._paths["docs"]
         self.store = SegmentBlobStore(spark, self._paths["segments"])
         self.page_cache = UserPageCache()
@@ -357,10 +358,14 @@ class IndexSearcher:
         segments = read_term_segments(
             self.spark, self._paths["segments"], terms
         )
-        deleted_bc = None
-        if self.deleted is not None:
-            deleted_bc = self.spark.sparkContext.broadcast(self.deleted)
-        postings = decode_postings(segments, deleted=deleted_bc)
+        # one broadcast per SEARCHER, not per call (self.deleted is
+        # immutable by the snapshot contract) — repeated interactive
+        # phrase queries must not leak a broadcast each
+        if self.deleted is not None and self._deleted_bc is None:
+            self._deleted_bc = self.spark.sparkContext.broadcast(
+                self.deleted
+            )
+        postings = decode_postings(segments, deleted=self._deleted_bc)
         rows = (
             phrase_match(postings, terms, gap=gap, slop=slop)
             .orderBy(F.desc("phrase_tf"), "doc_id")

@@ -103,19 +103,23 @@ def ann_topk(
 
     Join is on the bucket (equi-join, prunable/partitionable) instead of
     a cross join — the 100 TB path. Recall is tunable via n_planes and
-    ``multiprobe``: 1 additionally probes every bucket at Hamming
-    distance 1 from the query's bucket (each sign bit flipped), the
-    standard recall/latency dial — probes multiply the QUERY side only
-    (n_planes+1 rows per query), never the candidate side."""
+    ``multiprobe``: probe every bucket within Hamming distance
+    ``multiprobe`` of the query's bucket (all sign-bit flip
+    combinations up to that size), the standard recall/latency dial —
+    probes multiply the QUERY side only (sum of C(n_planes, d) rows
+    per query), never the candidate side."""
+    from itertools import combinations
+
     cb = rp_lsh_buckets(candidates, n_planes, vec_col)
     qb = rp_lsh_buckets(queries, n_planes, q_vec_col)
     if multiprobe:
+        masks = [0] + [
+            sum(1 << p for p in combo)
+            for d in range(1, multiprobe + 1)
+            for combo in combinations(range(n_planes), d)
+        ]
         flips = F.array(
-            F.col("lsh_bucket"),
-            *[
-                F.col("lsh_bucket").bitwiseXOR(F.lit(1 << p))
-                for p in range(n_planes)
-            ],
+            *[F.col("lsh_bucket").bitwiseXOR(F.lit(m)) for m in masks]
         )
         qb = qb.withColumn("lsh_bucket", F.explode(flips))
     joined = cb.join(F.broadcast(qb), "lsh_bucket")

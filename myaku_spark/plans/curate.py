@@ -80,9 +80,12 @@ def curate_flags(
     # duplicated page (10^8 copies of one hash at web scale) reduces
     # per-partition before the shuffle instead of funnelling into one
     # hot window partition; the join's build side is one row per hash.
+    # md5 coalesced to a sentinel: a NULL text must dedup like any
+    # group, not vanish through null-rejecting join equality
+    text_hash = F.coalesce(F.md5(F.col("text")), F.lit("~null~"))
     winners = (
         docs.filter(prev_ok)
-        .groupBy(F.md5(F.col("text")).alias("_h"))
+        .groupBy(text_hash.alias("_h"))
         .agg(F.min("doc_id").alias("_win"))
     )
     f_dedup = F.col("doc_id") == F.col("_win")
@@ -92,7 +95,7 @@ def curate_flags(
     )
 
     return (
-        docs.withColumn("_h", F.md5(F.col("text")))
+        docs.withColumn("_h", text_hash)
         .join(winners, "_h", "left")
         .join(bp, "doc_id", "left")
         .join(pp, "doc_id", "left")
@@ -135,9 +138,11 @@ def curate_metrics(flags: DataFrame) -> DataFrame:
     )
 
 
-def curate(docs: DataFrame, **kwargs) -> DataFrame:
-    """Docs surviving every stage (the curated corpus)."""
-    flags = curate_flags(docs, **kwargs)
+def curate(docs: DataFrame, flags: DataFrame | None = None, **kwargs) -> DataFrame:
+    """Docs surviving every stage (the curated corpus). Pass precomputed
+    ``flags`` (e.g. shared with curate_metrics) to avoid refitting."""
+    if flags is None:
+        flags = curate_flags(docs, **kwargs)
     keep = (
         F.col("f_lang")
         & F.col("f_len")

@@ -197,10 +197,12 @@ def read_pages(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFram
             df = reader.option("header", True).option(
                 "multiLine", True
             ).option(
-                "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss"
+                "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
             ).csv(path)
         else:
-            df = reader.json(path)
+            df = reader.option(
+                "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+            ).json(path)
         return df.select(
             "url", "warc_ts",
             F.unbase64("html").alias("html"),
@@ -219,9 +221,13 @@ def write_pages(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     elif fmt in ("json", "csv"):
         out = df.select(
             "url",
-            F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss").alias(
-                "warc_ts"
-            ),
+            # microsecond precision — parquet timestamps are micros and
+            # the round-trip must not truncate; both sides assume one
+            # session timezone (write and read under the same
+            # spark.sql.session.timeZone, UTC in this repo's sessions)
+            F.date_format(
+                "warc_ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+            ).alias("warc_ts"),
             F.base64("html").alias("html"),
             "text", "lang",
         )

@@ -45,10 +45,8 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
 
-    from pyspark.sql import functions as F
-
     from myaku_spark.operators.lm import train_bigram_lm
-    from myaku_spark.plans.curate import curate_flags, curate_metrics
+    from myaku_spark.plans.curate import curate, curate_flags, curate_metrics
     from myaku_spark.session import get_spark
 
     spark = get_spark("run_curate", parallelism=args.cpus)
@@ -66,13 +64,7 @@ def main() -> None:
         salt=args.salt,
         lm=lm,
     ).persist()
-    keep = (
-        F.col("f_lang") & F.col("f_len") & F.col("f_dedup")
-        & F.col("f_bp") & F.col("f_ppl") & F.col("f_sample")
-    )
-    curated = docs.join(
-        flags.filter(keep).select("doc_id"), "doc_id", "leftsemi"
-    )
+    curated = curate(docs, flags=flags)
     docs_out = os.path.join(args.out, "docs")
     if args.out_format == "jsonl":
         curated.write.mode("overwrite").json(docs_out)

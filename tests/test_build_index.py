@@ -213,7 +213,12 @@ def test_pages_format_roundtrip(spark, tmp_path):
     (html carried base64 in the text formats)."""
     from myaku_spark.sources.pages import read_pages, synth_pages_df, write_pages
 
-    src = synth_pages_df(spark, 6, partitions=2)
+    src = synth_pages_df(spark, 6, partitions=2).withColumn(
+        # force sub-second precision into the round-trip (parquet
+        # timestamps are micros; text formats must not truncate)
+        "warc_ts",
+        F.col("warc_ts") + F.expr("INTERVAL 123456 MICROSECONDS"),
+    )
     expect = {
         r.url: (bytes(r.html), r.text, r.warc_ts, r.lang)
         for r in src.collect()
