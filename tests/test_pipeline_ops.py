@@ -748,8 +748,8 @@ def test_ann_multiprobe_recall(spark):
         }
         return len(got & exact) / len(exact)
 
-    r0, r1 = recall(0), recall(1)
-    assert r1 >= r0  # probing Hamming-1 buckets never loses candidates
+    r0, r1, r2 = recall(0), recall(1), recall(2)
+    assert r2 >= r1 >= r0  # larger probe radius never loses candidates
     assert r1 > 0.8  # and meaningfully recovers the exact set
     # dedup check: a candidate reachable through several probed buckets
     # must appear once per (q, vec)
