@@ -765,3 +765,86 @@ def test_tpch_q6_pushdown(spark):
     assert "PushedFilters" in plan and "l_shipdate" in plan
     assert "Join" not in plan
     assert df.count() == 1
+
+
+def test_curation_funnel_randomized_twin(spark):
+    """Seeded randomized corpus (dups, short docs, NULL text, mixed
+    langs) — the funnel's per-stage counts must equal a pure-Python
+    twin computing the same stage semantics."""
+    import hashlib
+    import math
+    import random
+
+    from myaku_spark.plans.curate import curate_flags, curate_metrics
+
+    rng = random.Random(42)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    docs = []
+    for i in range(80):
+        kind = rng.random()
+        if kind < 0.1:
+            text = None
+        elif kind < 0.25 and docs and docs[-1][1]:
+            text = docs[-1][1]  # exact dup of the previous doc
+        else:
+            text = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40)))
+        lang = rng.choice(["en", "en", "en", "de"])
+        src = f"s{rng.randint(0, 2)}"
+        n_chars = len(text) if text else rng.randint(0, 120)
+        docs.append((i, text, lang, src, n_chars))
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    params = dict(
+        lang="en", min_chars=40, bp_k=3, bp_min_docs=4, bp_max_ratio=0.6,
+        ppl_max=1e9, weights={"s0": 1.0, "s1": 0.5}, default_rate=0.0,
+        salt="t",
+    )
+    got = {
+        r.stage: r.n_docs
+        for r in curate_metrics(curate_flags(df, **params)).collect()
+    }
+
+    # python twin
+    def u(doc_id):
+        h = hashlib.md5(f"{doc_id}:t".encode()).hexdigest()[:14]
+        return int(h, 16) / float(1 << 56)
+
+    rates = {"s0": 1.0, "s1": 0.5}
+    f = {}
+    prev_ok_ids = {}
+    for i, text, lang, src, n_chars in docs:
+        f_lang = lang == "en"
+        f_len = n_chars >= 40
+        if f_lang and f_len:
+            prev_ok_ids.setdefault(text, []).append(i)
+    # boilerplate: shingle doc-freq over full corpus
+    sh_by_doc, freq = {}, {}
+    for i, text, *_ in docs:
+        toks = (text or "").split()
+        shset = {
+            " ".join(toks[j : j + 3]) for j in range(max(0, len(toks) - 2))
+        } if len(toks) >= 3 else set()
+        sh_by_doc[i] = shset
+        for sgl in shset:
+            freq[sgl] = freq.get(sgl, 0) + 1
+    counts = [0] * 7
+    for i, text, lang, src, n_chars in docs:
+        flags = [
+            lang == "en",
+            n_chars >= 40,
+            (lang == "en" and n_chars >= 40)
+            and i == min(prev_ok_ids.get(text, [math.inf])),
+            (sum(1 for sgl in sh_by_doc[i] if freq[sgl] >= 4)
+             / len(sh_by_doc[i]) < 0.6) if sh_by_doc[i] else True,
+            bool((text or "").split()),  # ppl_max=inf: scorable iff bigrams
+            u(i) < rates.get(src, 0.0),
+        ]
+        counts[0] += 1
+        ok = True
+        for sidx, fl in enumerate(flags, start=1):
+            ok = ok and fl
+            counts[sidx] += 1 if ok else 0
+    from myaku_spark.plans.curate import STAGES
+
+    assert got == dict(zip(STAGES, counts)), (got, dict(zip(STAGES, counts)))
