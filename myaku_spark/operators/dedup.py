@@ -328,15 +328,21 @@ def connected_components(
             F.col(id_b).cast("long").alias("v"),
         )
     ).localCheckpoint(eager=True)
-    prev_sig = None
+    prev_sig, prev_edges = None, None
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        sig = edges.agg(
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        sig = new_edges.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.hash("u", "v").cast("long")).alias("h"),
         ).collect()[0]
         sig = (sig["n"], sig["h"])
-        if sig == prev_sig:
+        prev_edges, edges = edges, new_edges
+        # The (count, hash-sum) signature is a cheap per-round filter; the
+        # fixed point itself is confirmed EXACTLY (a hash-sum collision
+        # between different successive edge sets must not end the loop
+        # early). Both sides are localCheckpointed, so the exceptAll runs
+        # at most once at the true fixed point plus once per collision.
+        if sig == prev_sig and edges.exceptAll(prev_edges).count() == 0:
             break
         prev_sig = sig
     # Fixed point is a star forest: (member, root) plus implicit roots.

@@ -225,6 +225,10 @@ class UserPageCache:
         self._max_slots = max_slots or self.MAX_SLOTS
         # (user, dir) → (expiry, query_key, results); ordered for LRU.
         self._slots: OrderedDict[tuple, tuple] = OrderedDict()
+        # The async-precompute daemon thread (IndexSearcher.search_page)
+        # calls set() concurrently with interactive get()/set(); guard the
+        # OrderedDict — eviction iterates while another thread may insert.
+        self._cache_lock = threading.Lock()
 
     @staticmethod
     def _query_key(terms, combine: str, page_num: int) -> tuple:
@@ -232,34 +236,36 @@ class UserPageCache:
 
     def set(self, user_id: str, direction: int, terms, combine, page_num, results):
         key = (user_id, direction)
-        self._slots[key] = (
-            self._clock() + self.TTL_SECONDS,
-            self._query_key(terms, combine, page_num),
-            list(results),
-        )
-        self._slots.move_to_end(key)
-        # Bounded memory: when over cap, drop expired slots first, then
-        # LRU overflow — a long-running driver never accumulates one slot
-        # per user forever (the reference relies on Redis key expiry).
-        if len(self._slots) > self._max_slots:
-            now = self._clock()
-            for k in [k for k, v in self._slots.items() if v[0] < now]:
-                del self._slots[k]
-            while len(self._slots) > self._max_slots:
-                self._slots.popitem(last=False)
+        with self._cache_lock:
+            self._slots[key] = (
+                self._clock() + self.TTL_SECONDS,
+                self._query_key(terms, combine, page_num),
+                list(results),
+            )
+            self._slots.move_to_end(key)
+            # Bounded memory: when over cap, drop expired slots first, then
+            # LRU overflow — a long-running driver never accumulates one slot
+            # per user forever (the reference relies on Redis key expiry).
+            if len(self._slots) > self._max_slots:
+                now = self._clock()
+                for k in [k for k, v in self._slots.items() if v[0] < now]:
+                    del self._slots[k]
+                while len(self._slots) > self._max_slots:
+                    self._slots.popitem(last=False)
 
     def get(self, user_id: str, terms, combine, page_num):
         qk = self._query_key(terms, combine, page_num)
-        for direction in (1, -1):
-            slot = self._slots.get((user_id, direction))
-            if slot is None:
-                continue
-            expiry, key, results = slot
-            if expiry < self._clock():
-                del self._slots[(user_id, direction)]
-                continue
-            if key == qk:
-                return list(results)
+        with self._cache_lock:
+            for direction in (1, -1):
+                slot = self._slots.get((user_id, direction))
+                if slot is None:
+                    continue
+                expiry, key, results = slot
+                if expiry < self._clock():
+                    del self._slots[(user_id, direction)]
+                    continue
+                if key == qk:
+                    return list(results)
         return None
 
 

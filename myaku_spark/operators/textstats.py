@@ -291,7 +291,10 @@ def uniform_hash(key: Column, salt: str) -> Column:
 
     md5 rather than xxhash64 so the draw is reproducible across engines
     (the DuckDB oracle replays the identical arithmetic); still a JVM
-    codegen expression. 56 bits of the digest → double mantissa-exact."""
+    codegen expression. Uses 56 digest bits: values above 2^53 round to
+    the nearest representable double, but both engines apply the same
+    IEEE round-half-even on the cast, so the draw stays deterministic
+    and uniform to well below any sampling-rate granularity."""
     h = F.conv(
         F.substring(
             F.md5(F.concat(key.cast("string"), F.lit(":" + salt))), 1, 14
