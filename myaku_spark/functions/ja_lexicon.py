@@ -33,10 +33,11 @@ segments, matching the reference's resource-version pinning
 
 from __future__ import annotations
 
+import hashlib
 import re
 from dataclasses import dataclass, field
 
-JA_LEXICON_VERSION = "builtin-dict-3-jmdictxml"
+JA_LEXICON_VERSION = "builtin-dict-4-ipadic-csv"
 
 # ---------------------------------------------------------------------------
 # Token piece: one dictionary-attested token (surface slice, base form, POS).
@@ -174,28 +175,79 @@ class JMdictSubset:
         self.max_decomp_len = max(self.max_decomp_len, len(decomp))
 
 
+def builtin_surface_map(
+    extra_words: list[tuple[str, str, str | None]] | None = None,
+) -> dict[str, tuple]:
+    """Word layer from the builtin tables (entity → word → function-word
+    precedence via setdefault). This is the generator source for the
+    packaged ipadic_fragment.csv (scripts/gen_ipadic_fragment.py) and
+    the equivalence baseline for the CSV parse path."""
+    surface_map: dict[str, tuple[Piece, ...]] = {}
+    for surface, pos in ENTITY_ENTRIES:
+        surface_map[surface] = ((surface, surface, pos),)
+    for base, pos, conj in list(WORD_ENTRIES) + list(extra_words or []):
+        for surface, pieces in _expand_conjugations(base, pos, conj):
+            surface_map.setdefault(surface, pieces)
+    for w in JA_FUNCTION_WORDS:
+        pos = _FW_POS_OVERRIDES.get(w, "助詞")
+        surface_map.setdefault(w, ((w, w, pos),))
+    return surface_map
+
+
 class JaDictionary:
     """Compiled dictionary: longest-first surface regex + piece map +
     JMdict subset. Immutable after construction; safe to ship in a UDF
-    closure (broadcast once per executor, J6)."""
+    closure (broadcast once per executor, J6).
+
+    Word-layer sources (T2/T6 — the MeCab ipadic-NEologd analog):
+    by default the packaged ipadic-format CSV fragment is parsed by
+    functions/ipadic_csv.py, so a real ipadic/NEologd dictionary is a
+    data drop-in: ``JaDictionary(ipadic_csv_path='/path/to/neologd.csv')``
+    (a list of CSVs works too). ``use_builtin_words=True`` compiles the
+    in-code tables instead (the fragment's generator source). The JMdict
+    layer is likewise a file swap via ``jmdict_xml_path``.
+    """
 
     def __init__(
         self,
         extra_jmdict_surfaces: set[str] | None = None,
         extra_words: list[tuple[str, str, str | None]] | None = None,
         jmdict_xml_path: str | None = None,
+        ipadic_csv_path: str | list[str] | None = None,
+        use_builtin_words: bool = False,
     ) -> None:
         self.version = JA_LEXICON_VERSION
-        surface_map: dict[str, tuple[Piece, ...]] = {}
+        if use_builtin_words:
+            surface_map = builtin_surface_map(extra_words)
+            self.conj_map: dict[tuple, tuple] = {}
+            self.word_source = "builtin-tables"
+        else:
+            from myaku_spark.functions.ipadic_csv import (
+                DEFAULT_FRAGMENT,
+                parse_ipadic_csv,
+                word_layer_from_rows,
+            )
 
-        for surface, pos in ENTITY_ENTRIES:
-            surface_map[surface] = ((surface, surface, pos),)
-        for base, pos, conj in list(WORD_ENTRIES) + list(extra_words or []):
-            for surface, pieces in _expand_conjugations(base, pos, conj):
-                surface_map.setdefault(surface, pieces)
-        for w in JA_FUNCTION_WORDS:
-            pos = _FW_POS_OVERRIDES.get(w, "助詞")
-            surface_map.setdefault(w, ((w, w, pos),))
+            paths = ipadic_csv_path or DEFAULT_FRAGMENT
+            surface_map, self.conj_map = word_layer_from_rows(
+                parse_ipadic_csv(paths)
+            )
+            for base, pos, conj in extra_words or []:
+                for surface, pieces in _expand_conjugations(base, pos, conj):
+                    surface_map.setdefault(surface, pieces)
+            self.word_source = paths
+            if ipadic_csv_path is not None:
+                # Custom dictionary data participates in the version pin
+                # (the reference records dictionary versions in its index
+                # contract, japanese_analysis.py:50-66).
+                h = hashlib.sha256()
+                for p in [paths] if isinstance(paths, str) else paths:
+                    h.update(open(p, "rb").read())
+                self.version = f"{JA_LEXICON_VERSION}+{h.hexdigest()[:12]}"
+        # Conjunction-rule surfaces must be regex members regardless of
+        # word source; their pieces come from the rules, not the map.
+        for s in CONJUNCTION_RULES:
+            surface_map.setdefault(s, ((s, s, "助詞"),))
 
         self.surface_map = surface_map
         self.conjunction_rules = CONJUNCTION_RULES

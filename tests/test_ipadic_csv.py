@@ -1,0 +1,194 @@
+"""ipadic-CSV word layer: parser unit tests + builtin equivalence.
+
+The default JaDictionary now parses its word layer from the packaged
+ipadic-format fragment (functions/ipadic_fragment.csv), making the full
+tokenizer a data drop-in (reference: MeCab over ipadic-NEologd,
+japanese_analysis.py:919-1013, versions pinned at :50-66). These tests
+pin the parser semantics and prove the parsed layer is behaviorally
+identical to the builtin tables it was generated from — which is what
+keeps the golden FLI parity suite (test_fli_parity.py) meaningful for
+the CSV path: that suite runs against the default (CSV-backed)
+dictionary.
+"""
+
+import pytest
+
+from golden import golden_article_texts
+
+from myaku_spark.functions.ipadic_csv import (
+    DEFAULT_FRAGMENT,
+    IpadicRow,
+    parse_ipadic_csv,
+    word_layer_from_rows,
+)
+from myaku_spark.functions.ja_lexicon import (
+    CONJUNCTION_RULES,
+    JA_LEXICON_VERSION,
+    JaDictionary,
+    builtin_surface_map,
+)
+from myaku_spark.functions.tokenize import tokenize_ja_block
+
+
+def row(surface, pos="名詞,一般,*,*", ctype="*", cform="*", base=None,
+        cost=5000):
+    return (
+        f"{surface},1285,1285,{cost},{pos},{ctype},{cform},"
+        f"{base if base is not None else surface},*,*"
+    )
+
+
+def write_csv(tmp_path, lines, name="d.csv", encoding="utf-8"):
+    p = tmp_path / name
+    p.write_bytes(("\n".join(lines) + "\n").encode(encoding))
+    return str(p)
+
+
+# --- parser ----------------------------------------------------------------
+
+
+def test_parse_fields(tmp_path):
+    p = write_csv(tmp_path, [
+        "走る,772,772,7175,動詞,自立,*,*,五段・ラ行,基本形,走る,ハシル,ハシル",
+    ])
+    [r] = parse_ipadic_csv(p)
+    assert r == IpadicRow(
+        surface="走る", left_id=772, right_id=772, cost=7175,
+        pos=("動詞", "自立"), conj_type="五段・ラ行", conj_form="基本形",
+        base="走る", reading="ハシル", pron="ハシル",
+    )
+    assert r.pos_joined == "動詞-自立"
+
+
+def test_blank_base_falls_back_to_surface(tmp_path):
+    # The reference's known-problem fix (japanese_analysis.py:1049-1056):
+    # rare proper nouns come back with a blank base form.
+    p = write_csv(tmp_path, [
+        "ミャク,1288,1288,4000,名詞,固有名詞,一般,*,*,*,*,ミャク,ミャク",
+    ])
+    [r] = parse_ipadic_csv(p)
+    assert r.base == "ミャク"
+
+
+def test_euc_jp_fallback(tmp_path):
+    # The original ipadic distribution ships EUC-JP CSVs.
+    p = write_csv(
+        tmp_path,
+        ["雪,1285,1285,5000,名詞,一般,*,*,*,*,雪,ユキ,ユキ"],
+        encoding="euc_jp",
+    )
+    [r] = parse_ipadic_csv(p)
+    assert (r.surface, r.base, r.reading) == ("雪", "雪", "ユキ")
+
+
+def test_malformed_rows_raise(tmp_path):
+    with pytest.raises(ValueError, match="expected 13 fields"):
+        parse_ipadic_csv(write_csv(tmp_path, ["雪,1,2,3,名詞"]))
+    with pytest.raises(ValueError, match="non-integer"):
+        parse_ipadic_csv(write_csv(
+            tmp_path, ["雪,a,2,3,名詞,一般,*,*,*,*,雪,ユキ,ユキ"]))
+    with pytest.raises(ValueError, match="empty surface"):
+        parse_ipadic_csv(write_csv(
+            tmp_path, [",1,2,3,名詞,一般,*,*,*,*,x,ユキ,ユキ"]))
+
+
+def test_multi_file_parse_order(tmp_path):
+    p1 = write_csv(tmp_path, [row("雪")], name="a.csv")
+    p2 = write_csv(tmp_path, [row("窓")], name="b.csv")
+    rows = parse_ipadic_csv([p1, p2])
+    assert [r.surface for r in rows] == ["雪", "窓"]
+
+
+# --- word-layer compilation -------------------------------------------------
+
+
+def test_min_cost_wins_per_surface(tmp_path):
+    p = write_csv(tmp_path, [
+        row("雪", pos="名詞,一般,*,*", cost=6000),
+        row("雪", pos="名詞,固有名詞,一般,*", cost=4000),
+    ])
+    smap, _ = word_layer_from_rows(parse_ipadic_csv(p))
+    assert smap["雪"] == (("雪", "雪", "名詞-固有名詞-一般"),)
+
+
+def test_equal_cost_first_row_wins(tmp_path):
+    p = write_csv(tmp_path, [
+        row("雪", pos="名詞,一般,*,*", cost=5000),
+        row("雪", pos="名詞,固有名詞,一般,*", cost=5000),
+    ])
+    smap, _ = word_layer_from_rows(parse_ipadic_csv(p))
+    assert smap["雪"] == (("雪", "雪", "名詞-一般"),)
+
+
+def test_garu_stem_composes_with_suffix_only(tmp_path):
+    # ガル接続 stems and 名詞-接尾 suffixes are lattice-context-bound:
+    # they appear only through compile-time composites, never standalone.
+    p = write_csv(tmp_path, [
+        "美し,19,19,5000,形容詞,自立,*,*,形容詞・アウオ段,ガル接続,美しい,ウツクシ,ウツクシ",
+        "さ,1314,1314,4000,名詞,接尾,特殊,*,*,*,さ,サ,サ",
+    ])
+    smap, _ = word_layer_from_rows(parse_ipadic_csv(p))
+    assert set(smap) == {"美しさ"}
+    assert smap["美しさ"] == (
+        ("美し", "美しい", "形容詞-自立"),
+        ("さ", "さ", "名詞-接尾-特殊"),
+    )
+
+
+def test_standalone_row_outranks_composition(tmp_path):
+    p = write_csv(tmp_path, [
+        "美し,19,19,5000,形容詞,自立,*,*,形容詞・アウオ段,ガル接続,美しい,ウツクシ,ウツクシ",
+        "さ,1314,1314,4000,名詞,接尾,特殊,*,*,*,さ,サ,サ",
+        row("美しさ", pos="名詞,一般,*,*", cost=3000),
+    ])
+    smap, _ = word_layer_from_rows(parse_ipadic_csv(p))
+    assert smap["美しさ"] == (("美しさ", "美しさ", "名詞-一般"),)
+
+
+def test_conj_map_carries_type_and_form():
+    _, conj = word_layer_from_rows(parse_ipadic_csv(DEFAULT_FRAGMENT))
+    assert conj[("曇る", "曇る", "動詞-自立")] == ("五段・ラ行", "基本形")
+    assert conj[("曇っ", "曇る", "動詞-自立")] == ("五段・ラ行", "連用タ接続")
+    assert conj[("美し", "美しい", "形容詞-自立")] == (
+        "形容詞・アウオ段", "ガル接続")
+
+
+# --- builtin equivalence (the FLI-parity bridge) ----------------------------
+
+
+def test_fragment_layer_equals_builtin_tables():
+    smap, _ = word_layer_from_rows(parse_ipadic_csv(DEFAULT_FRAGMENT))
+    builtin = builtin_surface_map()
+    assert set(smap) == set(builtin)
+    for s in builtin:
+        if s in CONJUNCTION_RULES:
+            continue  # pieces come from the rules, map is membership-only
+        assert smap[s] == builtin[s], s
+
+
+def test_default_dictionary_is_csv_backed():
+    d = JaDictionary()
+    assert d.word_source.endswith("ipadic_fragment.csv")
+    assert d.version == JA_LEXICON_VERSION
+    assert d.conj_map  # conjugation tags survive into the dictionary
+
+
+def test_golden_corpus_tokenization_identical_csv_vs_builtin():
+    d_csv = JaDictionary()
+    d_builtin = JaDictionary(use_builtin_words=True)
+    for title, text in golden_article_texts().items():
+        for block in text.split("\n"):
+            assert tokenize_ja_block(block, 0, d_csv) == tokenize_ja_block(
+                block, 0, d_builtin
+            ), title
+
+
+def test_custom_csv_path_pins_version(tmp_path):
+    p = write_csv(tmp_path, [row("雪")])
+    d = JaDictionary(ipadic_csv_path=p)
+    assert d.version.startswith(JA_LEXICON_VERSION + "+")
+    assert d.version != JA_LEXICON_VERSION
+    assert "雪" in d.surface_map
+    # conjunction-rule surfaces stay regex members with any word source
+    for s in CONJUNCTION_RULES:
+        assert s in d.surface_map
