@@ -170,14 +170,20 @@ def encode_block_arrays(
     return zlib.compress(b"".join(parts), _ZLIB_LEVEL)
 
 
-def decode_block(blob: bytes, pos_arrays: bool = False) -> dict:
+def decode_block(
+    blob: bytes, pos_arrays: bool = False, pos_flat: bool = False
+) -> dict:
     """Inverse of encode_block → dict(doc_ids, tfs, scores?, positions?).
 
     ``pos_arrays=True`` returns positions as parallel per-posting numpy
     arrays ("pos_starts"/"pos_lens", np.split views — zero copies)
     instead of per-position (start, len) tuple lists; the bulk-decode
     path (decode_postings) uses this to skip millions of throwaway
-    tuples on head terms."""
+    tuples on head terms.
+
+    ``pos_flat=True`` skips even the split: "pos_starts_flat"/
+    "pos_lens_flat" are the UNSPLIT flat arrays (posting boundaries =
+    cumsum(tfs)), ready for Arrow ListArray assembly from offsets."""
     raw = zlib.decompress(blob)
     vals = varint_decode(raw)  # decode the full varint stream once
     # Stream layout is self-describing except the two flag bytes, which
@@ -205,7 +211,10 @@ def decode_block(blob: bytes, pos_arrays: bool = False) -> dict:
         # cumsum value at each posting's boundary (exclusive).
         tf_i = tfs.astype(np.int64)
         if tf_i.size == 0:
-            if pos_arrays:
+            if pos_flat:
+                out["pos_starts_flat"] = np.empty(0, dtype=np.int64)
+                out["pos_lens_flat"] = np.empty(0, dtype=np.int64)
+            elif pos_arrays:
                 out["pos_starts"], out["pos_lens"] = [], []
             else:
                 out["positions"] = []
@@ -217,7 +226,10 @@ def decode_block(blob: bytes, pos_arrays: bool = False) -> dict:
         base = np.where(gstart > 0, s[np.maximum(gstart - 1, 0)], 0)
         starts = s - np.repeat(base, tf_i)
         bounds = np.cumsum(tf_i)[:-1]
-        if pos_arrays:
+        if pos_flat:
+            out["pos_starts_flat"] = starts
+            out["pos_lens_flat"] = lens
+        elif pos_arrays:
             out["pos_starts"] = np.split(starts, bounds)
             out["pos_lens"] = np.split(lens, bounds)
         else:

@@ -151,22 +151,40 @@ def ngram_jaccard(
     shingle_df: DataFrame, candidates: DataFrame | None = None
 ) -> DataFrame:
     """Exact Jaccard over shingle sets; restricted to candidate pairs when
-    given (the LSH verify stage), else all co-shingled pairs."""
+    given (the LSH verify stage), else all co-shingled pairs.
+
+    The candidate restriction is pushed INTO the plan, not applied after
+    it (r3 verdict #2): the shingle stream is semi-joined to the
+    candidate doc-id set on both sides of the self-join, and the pair
+    stream is semi-joined to the candidate pairs BEFORE the
+    intersection aggregation. Catalyst cannot push a post-aggregation
+    semi-join below a groupBy on its own, and without the pruning a
+    boilerplate-hot shingle explodes quadratically over docs the LSH
+    stage already ruled out. Per-doc set sizes are unchanged by the
+    pruning (a semi-join keeps every shingle of a kept doc)."""
+    if candidates is not None:
+        cand_ids = (
+            candidates.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        shingle_df = shingle_df.join(cand_ids, "doc_id", "left_semi")
     sizes = shingle_df.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = shingle_df.alias("a"), shingle_df.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
+    pair_stream = a.join(
+        b,
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
     )
     if candidates is not None:
-        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+        pair_stream = pair_stream.join(
+            candidates, ["doc_a", "doc_b"], "left_semi"
+        )
+    inter = pair_stream.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("inter")
+    )
     return (
         inter.join(
             sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")),

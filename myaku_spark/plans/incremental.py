@@ -226,47 +226,121 @@ def _score_delta_col(old_now: str, new_now: str):
     ) * F.lit(w)
 
 
-def _rescore_blocks(ids_sorted: np.ndarray, deltas: np.ndarray):
-    """mapInPandas: add per-doc deltas to block score payloads.
+# Binned interval join (rescore): level-l bin width = 4096 * 64^l, a
+# block registers at the smallest level where it overlaps < 64 bins
+# (so block replication is capped at 64 rows), an affected doc probes
+# exactly one bin per level. Final width is a catch-all single bin.
+_PATCH_BIN_WIDTHS = [4096 * 64**l for l in range(6)] + [1 << 62]
+_PATCH_MAX_BINS = 64
 
-    Blocks whose [min_doc, max_doc] range contains no affected doc pass
-    through UNDECODED (two searchsorted probes decide) — at 10^12 docs a
-    daily rescore touches only the blocks holding that day's
-    tier-boundary crossers."""
+
+def _block_patches(segs: DataFrame, affected: DataFrame) -> DataFrame:
+    """Per-block patch arrays from a DISTRIBUTED delta set.
+
+    (group, bucket, term, block_id) → (patch_ids, patch_deltas), the
+    sorted affected doc ids falling inside the block's [min_doc,
+    max_doc] plus their score deltas. The point-in-range join is a
+    binned equi-join (multi-resolution binning, the classic interval-
+    join shape): block-side replication ≤ _PATCH_MAX_BINS rows, probe-
+    side replication = one row per level — so a daily rescore at 10^12
+    docs shuffles O(levels · |affected|) + O(bins · |block meta|) rows
+    and the delta set never touches the driver. A wide rare-term block
+    meets only the probes of its own coarse bins, and AQE's skew split
+    handles a genuinely hot bin."""
+    widths = _PATCH_BIN_WIDTHS
+    lvl = None
+    for l, w in enumerate(widths):
+        fits = F.expr(
+            f"(max_doc div {w}) - (min_doc div {w}) < {_PATCH_MAX_BINS}"
+        )
+        lvl = F.when(fits, l) if lvl is None else lvl.when(fits, l)
+    blocks = (
+        segs.select(
+            "group", "bucket", "term", "block_id", "min_doc", "max_doc"
+        )
+        .withColumn("lvl", lvl)
+        .withColumn(
+            "w",
+            F.element_at(
+                F.array(*[F.lit(w).cast("long") for w in widths]),
+                F.col("lvl") + 1,
+            ),
+        )
+        .withColumn(
+            "bin", F.explode(F.expr("sequence(min_doc div w, max_doc div w)"))
+        )
+    )
+    probes = affected.select(
+        "doc_id",
+        "_delta",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(l).alias("lvl"),
+                        F.expr(f"doc_id div {w}").alias("bin"),
+                    )
+                    for l, w in enumerate(widths)
+                ]
+            )
+        ).alias("lb"),
+    ).select(
+        "doc_id",
+        "_delta",
+        F.col("lb.lvl").alias("lvl"),
+        F.col("lb.bin").alias("bin"),
+    )
+    pairs = blocks.join(probes, ["lvl", "bin"]).filter(
+        F.col("doc_id").between(F.col("min_doc"), F.col("max_doc"))
+    )
+    return (
+        pairs.groupBy("group", "bucket", "term", "block_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("doc_id"), F.col("_delta")))
+            ).alias("p")
+        )
+        .select(
+            "group",
+            "bucket",
+            "term",
+            "block_id",
+            F.expr("transform(p, x -> x.doc_id)").alias("patch_ids"),
+            F.expr("transform(p, x -> x._delta)").alias("patch_deltas"),
+        )
+    )
+
+
+def _patch_blocks(batches):
+    """mapInPandas kernel: apply per-row patch arrays to block score
+    payloads. Rows with no patch (left-join null) pass through
+    UNDECODED; patched rows decode, add deltas via searchsorted, and
+    re-encode. The delta data arrives IN the rows (from
+    _block_patches), not in the closure — no driver state."""
     from myaku_spark.operators.codec import decode_block, encode_block
 
-    def run(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield pdf
+    for pdf in batches:
+        out = pdf.drop(columns=["patch_ids", "patch_deltas"])
+        if len(pdf) == 0:
+            yield out
+            continue
+        for i in pdf.index[pdf["patch_ids"].notna()]:
+            ids = np.asarray(pdf.at[i, "patch_ids"], dtype=np.int64)
+            dls = np.asarray(pdf.at[i, "patch_deltas"], dtype=np.int64)
+            dec = decode_block(bytes(pdf.at[i, "blob"]))
+            doc_ids = dec["doc_ids"].astype(np.int64)
+            idx = np.searchsorted(ids, doc_ids)
+            idx_c = np.clip(idx, 0, len(ids) - 1)
+            hit = ids[idx_c] == doc_ids
+            if not hit.any():
                 continue
-            out_rows = []
-            for _, row in pdf.iterrows():
-                lo = np.searchsorted(ids_sorted, row["min_doc"], side="left")
-                hi = np.searchsorted(ids_sorted, row["max_doc"], side="right")
-                if lo >= hi:  # no affected doc can be in this block
-                    out_rows.append(row)
-                    continue
-                dec = decode_block(bytes(row["blob"]))
-                doc_ids = dec["doc_ids"].astype(np.int64)
-                idx = np.searchsorted(ids_sorted, doc_ids)
-                idx_c = np.clip(idx, 0, len(ids_sorted) - 1)
-                hit = ids_sorted[idx_c] == doc_ids
-                if not hit.any():
-                    out_rows.append(row)
-                    continue
-                scores = dec["scores"].astype(np.int64)
-                scores[hit] += deltas[idx_c[hit]]
-                blob = encode_block(
-                    dec["doc_ids"], dec["tfs"], scores, dec.get("positions")
-                )
-                row = row.copy()
-                row["blob"] = blob
-                row["max_score"] = int(scores.max())
-                out_rows.append(row)
-            yield pd.DataFrame(out_rows)
-
-    return run
+            scores = dec["scores"].astype(np.int64)
+            scores[hit] += dls[idx_c[hit]]
+            out.at[i, "blob"] = encode_block(
+                dec["doc_ids"], dec["tfs"], scores, dec.get("positions")
+            )
+            out.at[i, "max_score"] = int(scores.max())
+        yield out
 
 
 def rescore_index(
@@ -288,12 +362,16 @@ def rescore_index(
     old_now = str(meta.now)
     docs = spark.read.parquet(paths["docs"])
     delta = _score_delta_col(old_now, new_now)
+    # The affected-doc delta set stays a DataFrame end to end: it is
+    # counted (one scalar), joined to block metadata (_block_patches),
+    # and never collected — at 10^12 docs a daily rescore's tier-
+    # boundary crossers are far beyond driver memory.
     affected = (
         docs.withColumn("_delta", delta)
         .filter(F.col("_delta") != 0)
         .select("doc_id", "_delta")
-        .collect()
     )
+    n_affected = int(affected.count())
     version = int(cat["version"]) + 1
     entry = {
         "version": version,
@@ -304,7 +382,7 @@ def rescore_index(
         "corpus_stats": cat["corpus_stats"],
         "previous": cat,
     }
-    if affected:
+    if n_affected:
         # Docs rewrite: pure Catalyst (the delta column recomputes from
         # doc_ts — no broadcast needed for this side).
         docs_rel = f"docs_v{version}"
@@ -319,17 +397,18 @@ def rescore_index(
         writer.parquet(f"{index_dir}/{docs_rel}")
 
         if meta.mode == "myaku":
-            # Segment payload rewrite: only blocks intersecting an
-            # affected doc id are decoded (see _rescore_blocks).
-            ids = np.array(sorted(int(r.doc_id) for r in affected), dtype=np.int64)
-            dmap = {int(r.doc_id): int(r._delta) for r in affected}
-            deltas = np.array([dmap[int(i)] for i in ids], dtype=np.int64)
+            # Segment payload rewrite: per-block patch arrays come from
+            # the distributed binned interval join (_block_patches); only
+            # blocks that received a patch are decoded (_patch_blocks).
             seg_rel = f"segments_v{version}"
             entry["segments"] = seg_rel
             segs = spark.read.parquet(paths["segments"])
-            rescored = segs.mapInPandas(
-                _rescore_blocks(ids, deltas), segs.schema
+            patched = segs.join(
+                _block_patches(segs, affected),
+                ["group", "bucket", "term", "block_id"],
+                "left",
             )
+            rescored = patched.mapInPandas(_patch_blocks, segs.schema)
             (
                 rescored.repartition("group", "bucket")
                 .sortWithinPartitions("term", "block_id")
@@ -349,4 +428,4 @@ def rescore_index(
             for c in catalog.COMPONENTS:
                 keep.add(e[c])
         catalog.gc_names(index_dir, keep)
-    return {"n_affected": len(affected), "version": version}
+    return {"n_affected": n_affected, "version": version}

@@ -352,3 +352,72 @@ def test_auto_compact_tombstone_threshold(spark, tmp_path):
     )
     assert "compacted" not in row2
     assert len(load_tombstones(spark, d)) == 1
+
+
+# --- distributed rescore delta set (no driver materialization) --------------
+
+
+def test_block_patches_binned_join_matches_bruteforce(spark):
+    # The binned interval join must assign exactly the affected docs in
+    # [min_doc, max_doc] to each block — including wide rare-term blocks
+    # that land in coarse bin levels — with ≥1e5 affected docs flowing
+    # through as a DataFrame.
+    import numpy as np
+
+    from myaku_spark.plans.incremental import _block_patches
+
+    rng = np.random.default_rng(7)
+    n_aff = 100_000
+    ids = np.sort(rng.choice(50_000_000, size=n_aff, replace=False))
+    affected = spark.createDataFrame(
+        [(int(i), int(1 + i % 7)) for i in ids], ["doc_id", "_delta"]
+    )
+    blocks = []
+    # dense head-term blocks (narrow ranges, fine bins)
+    for b in range(40):
+        lo = int(rng.integers(0, 49_000_000))
+        blocks.append((0, b % 4, "head", b, lo, lo + int(rng.integers(1, 5000))))
+    # wide rare-term blocks (span most of the doc space, coarse bins)
+    for b in range(10):
+        lo = int(rng.integers(0, 1_000_000))
+        blocks.append((0, b % 4, f"rare{b}", 0, lo, lo + 45_000_000))
+    segs = spark.createDataFrame(
+        blocks, ["group", "bucket", "term", "block_id", "min_doc", "max_doc"]
+    )
+    got = {
+        (r.group, r.bucket, r.term, r.block_id): (
+            list(r.patch_ids),
+            list(r.patch_deltas),
+        )
+        for r in _block_patches(segs, affected).collect()
+    }
+    for g, bk, term, bid, lo, hi in blocks:
+        sel = ids[(ids >= lo) & (ids <= hi)]
+        want = ([int(i) for i in sel], [int(1 + i % 7) for i in sel])
+        have = got.get((g, bk, term, bid), ([], []))
+        assert have == want, (term, bid)
+
+
+def test_rescore_never_collects_the_delta_set(spark, tmp_path, monkeypatch):
+    # Verdict r3 #1: rescore_index must not .collect() the affected-doc
+    # deltas. Wrap DataFrame.collect and assert every driver
+    # materialization during a rescore is metadata-sized.
+    d = str(tmp_path / "nocollect")
+    pages = synth_pages_df(spark, 40, partitions=4)
+    build_index(spark, pages, d, n_groups=2, now="2026-01-01 12:00:00")
+
+    # Patch the CONCRETE DataFrame class (pyspark 4: instances are
+    # pyspark.sql.classic.dataframe.DataFrame, which overrides collect).
+    cls = type(spark.range(1))
+    sizes = []
+    orig = cls.collect
+
+    def counting_collect(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(cls, "collect", counting_collect)
+    out = rescore_index(spark, d, "2026-07-20 12:00:00")
+    assert out["n_affected"] >= 30  # nearly every doc crossed a tier
+    assert sizes and max(sizes) <= 4, sizes  # build_meta/catalog only

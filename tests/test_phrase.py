@@ -349,3 +349,50 @@ def test_batch_phrase_equals_per_query(spark):
             for r in phrase_search(spark, segs, terms, k=10, gap=1).collect()
         }
         assert batch.get(qid, {}) == single, qid
+
+
+def test_batch_phrase_slop_equals_per_query(spark):
+    from myaku_spark.operators.phrase import batch_phrase_search
+
+    segs = _segments_for(spark, DOCS)
+    queries = [("s1", ["a", "b"]), ("s2", ["b", "b"])]
+    batch = {}
+    for r in batch_phrase_search(
+        spark, segs, queries, k=10, gap=1, slop=6
+    ).collect():
+        batch.setdefault(r.query_id, {})[r.doc_id] = (
+            r.phrase_tf, list(r.match_starts)
+        )
+    for qid, terms in queries:
+        single = {
+            r.doc_id: (r.phrase_tf, list(r.match_starts))
+            for r in phrase_search(
+                spark, segs, terms, k=10, gap=1, slop=6
+            ).collect()
+        }
+        assert batch.get(qid, {}) == single, qid
+
+
+def test_batch_phrase_plan_constant_in_n(spark):
+    # r3 verdict wrong-list #4: the batch plan must not grow with the
+    # number of queries (no per-query unions) — queries are data, not
+    # plan nodes.
+    from myaku_spark.operators.phrase import batch_phrase_match, decode_postings
+
+    segs = _segments_for(spark, DOCS)
+    postings = decode_postings(segs)
+
+    def plan_for(n):
+        qdf = spark.createDataFrame(
+            [(f"q{i}", ["a", "b"]) for i in range(n)],
+            "query_id string, terms array<string>",
+        )
+        out = batch_phrase_match(postings, qdf, gap=1)
+        return out._jdf.queryExecution().optimizedPlan().toString()
+
+    p2, p64 = plan_for(2), plan_for(64)
+    # Identical operator shape (the fixture itself contributes a fixed
+    # number of nodes; none are added per query).
+    for node in ("Union", "Join", "Aggregate", "Project", "Filter"):
+        assert p64.count(node) == p2.count(node), node
+    assert len(p64) <= int(len(p2) * 1.05) + 64

@@ -848,3 +848,29 @@ def test_curation_funnel_randomized_twin(spark):
     from myaku_spark.plans.curate import STAGES
 
     assert got == dict(zip(STAGES, counts)), (got, dict(zip(STAGES, counts)))
+
+
+def test_ngram_jaccard_candidate_pruning_in_plan(spark, dup_docs):
+    # r3 verdict #2: with a candidate set, the restriction must sit
+    # BELOW the intersection aggregation — both shingle sides semi-join
+    # to candidate doc ids and the pair stream semi-joins to candidate
+    # pairs before the groupBy — so boilerplate-hot shingles never
+    # explode over non-candidate docs.
+    from myaku_spark.operators.dedup import shingles
+
+    sh = shingles(dup_docs, k=3)
+    cand = spark.createDataFrame([(0, 2)], ["doc_a", "doc_b"])
+    out = ngram_jaccard(sh, candidates=cand)
+
+    # Same values as the unrestricted computation, filtered to the pair.
+    unrestricted = {
+        (r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard(sh).collect()
+    }
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in out.collect()}
+    assert got == {(0, 2): unrestricted[(0, 2)]}
+
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    agg_at = plan.find("count(1) AS inter")
+    assert agg_at != -1
+    below_agg = plan[agg_at:]
+    assert below_agg.count("LeftSemi") >= 3, plan  # 2 id prunes + pair prune
