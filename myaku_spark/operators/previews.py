@@ -76,9 +76,8 @@ def build_sample_segments(
     runs, lstrip the first / rstrip the last segment, then collapse
     whitespace per segment — the isQueryMatch highlighting structure the
     reference API serves. (The >100-char trim / short-sentence expand
-    strategies of article_preview.py:293-480 are not replicated: the
-    quality ranking prefers ≤100-char sentences, so the main sample
-    rarely triggers them.)"""
+    strategies of article_preview.py:293-480 are ArticlePreview below —
+    use it when full sample shaping is needed.)"""
     s_start, s_len = sentence
     segments: list[list] = []
     last_end = s_start
@@ -267,3 +266,356 @@ def preview_for_results(
         "doc_id", "text"
     )
     return attach_ranked_previews(rdf.join(docs, "doc_id"), texts)
+
+
+# ---------------------------------------------------------------------------
+# Full preview parity: trim (>100-char samples) + expand (short samples)
+# (article_preview.py:127-827). One ArticlePreview per result row — the
+# same driver/UDF-side granularity as best_preview_sample above.
+# ---------------------------------------------------------------------------
+
+TRIM_INDICATOR = "..."  # _TRIMMED_INDICATOR_STR, article_preview.py:23
+MIN_CHARS_BETWEEN_MATCH_AND_TRIM = 8  # article_preview.py:24
+MAX_PREVIEW_SAMPLES = 3  # _MAX_PREVIEW_ARTICLE_SAMPLES, :20
+MAX_PREVIEW_ARTICLE_PERCENT = 0.15  # :21
+
+import re as _re2
+
+
+def _collapse_ws(t: str) -> str:
+    """_collapse_whitespace (article_preview.py:26-34)."""
+    return _re2.sub(r"\s+", "　", t)
+
+
+def _seglen(segs) -> int:
+    return sum(len(t) for _, t in segs)
+
+
+class ArticlePreview:
+    """Search-result article preview with the reference's FULL sample
+    shaping (article_preview.py:127-827): quality-sorted candidate
+    sentences become samples; a sample over 100 chars is trimmed around
+    its densest query-match section (with '...' indicators and the
+    full-left / full-right / balanced remainder strategies); a short
+    sample expands with neighboring sentences — paragraph-continuation
+    pass first, then unconditional, then partial-sentence force
+    expansion — under the 70-90 ideal-length acceptance rule
+    (_should_expand). Extra samples stop at 3 or 15% of the article.
+
+    ``main_sample``/``extra_samples`` are dicts with ``segments``
+    (list of (is_query_match, text)) and ``start`` (article char
+    offset), the JSON shape the reference API serves
+    (convert_sample_text_to_json, :104-119). Reference quirks are
+    mirrored, not fixed, for output parity; each is marked below."""
+
+    def __init__(self, text: str, positions, title: str = ""):
+        self.text = text
+        self.title = title
+        groups = group_positions_by_sentence(text, list(positions))
+        groups.sort(
+            key=lambda g: preview_quality_key(g[0][1]), reverse=True
+        )
+        self._pos_map = {g[0][0]: g[1] for g in groups}
+        self._used: set[int] = set()
+        samples = self._create_all(groups)
+        self.main_sample = samples[0] if samples else None
+        self.extra_samples = samples[1:]
+
+    # -- sample assembly (:200-270) -----------------------------------
+
+    def _sample_segments(self, start: int, length: int, found):
+        segs: list[list] = []
+        last_end = start
+        for p_start, p_len in found:
+            if last_end != p_start:
+                t = self.text[last_end:p_start]
+                segs.append([False, t])
+                last_end += len(t)
+            segs.append([True, self.text[p_start : p_start + p_len]])
+            last_end += p_len
+        end_text = self.text[last_end : start + length]
+        if end_text:
+            segs.append([False, end_text])
+        segs[0][1] = segs[0][1].lstrip()
+        segs[-1][1] = segs[-1][1].rstrip()
+        for s in segs:
+            s[1] = _collapse_ws(s[1])
+        return segs
+
+    def _create_all(self, groups):
+        out = []
+        article_len = len(_collapse_ws(self.text))
+        for (s_start, s_len), found in groups:
+            if s_start in self._used:
+                continue
+            out.append(self._create_sample((s_start, s_len), found))
+            total = sum(_seglen(s["segments"]) for s in out)
+            if len(out) > 1 and total / article_len > (
+                MAX_PREVIEW_ARTICLE_PERCENT
+            ):
+                out.pop()
+                break
+            if len(out) >= MAX_PREVIEW_SAMPLES:
+                break
+        return out
+
+    def _create_sample(self, pos, found):
+        segs = self._sample_segments(pos[0], pos[1], found)
+        sample = {"segments": segs, "start": pos[0]}
+        self._used.add(pos[0])
+        if _seglen(segs) > MAX_ACCEPTABLE_LEN:
+            self._trim(sample)
+        else:
+            self._expand(sample, pos)
+        sample["segments"] = [(bool(m), t) for m, t in sample["segments"]]
+        return sample
+
+    # -- trim (:272-480) ----------------------------------------------
+
+    @staticmethod
+    def _max_match_bounds(segs):
+        """_get_max_query_match_bounds (:272-316): densest contiguous
+        match section within 100 chars. A segment whose length pushes
+        the section to >=100 breaks BEFORE being counted as a match —
+        the reference's add-then-break order."""
+        best = -1
+        b_start = b_end = 0
+        for i, (is_match, _) in enumerate(segs):
+            if not is_match:
+                continue
+            matches = 0
+            section_len = 0
+            last_match = i
+            for j in range(i, len(segs)):
+                section_len += len(segs[j][1])
+                if section_len >= MAX_ACCEPTABLE_LEN:
+                    break
+                if segs[j][0]:
+                    last_match = j
+                    matches += 1
+            if matches > best:
+                best = matches
+                b_start, b_end = i, last_match + 1
+        return b_start, b_end
+
+    def _trim(self, sample):
+        """_trim_sample_text (:440-480)."""
+        segs = sample["segments"]
+        m_start, m_end = self._max_match_bounds(segs)
+        trimmed = list(segs[m_start:m_end])
+        trimmed_len = _seglen(trimmed)
+        chars_from_start = _seglen(segs[:m_start])
+        chars_to_end = _seglen(segs[m_end:])
+        sample["start"] += chars_from_start
+        if trimmed_len >= MAX_ACCEPTABLE_LEN:
+            left_added = 0
+        elif (
+            trimmed_len + chars_from_start + MIN_CHARS_BETWEEN_MATCH_AND_TRIM
+            <= MAX_ACCEPTABLE_LEN
+        ):
+            # full left, remainder right (:318-352). The reference
+            # returns the FIRST segment's length as left_added_chars —
+            # mirrored (quirk: it equals len(segs[0]), not the total
+            # prepended length).
+            trimmed = list(segs[:m_start]) + trimmed
+            cur = _seglen(trimmed)
+            if cur < MAX_ACCEPTABLE_LEN:
+                trimmed.append(
+                    [False, segs[m_end][1][: MAX_ACCEPTABLE_LEN - cur]]
+                )
+            trimmed.append([False, TRIM_INDICATOR])
+            left_added = len(trimmed[0][1])
+        elif (
+            trimmed_len + chars_to_end + MIN_CHARS_BETWEEN_MATCH_AND_TRIM
+            <= MAX_ACCEPTABLE_LEN
+        ):
+            # full right, remainder left (:354-390)
+            trimmed = trimmed + list(segs[m_end:])
+            cur = _seglen(trimmed)
+            left_added = 0
+            if cur < MAX_ACCEPTABLE_LEN:
+                piece = segs[m_start - 1][1][
+                    -1 * (MAX_ACCEPTABLE_LEN - cur) :
+                ]
+                trimmed.insert(0, [False, piece])
+                left_added = len(piece)
+            trimmed.insert(0, [False, TRIM_INDICATOR])
+        else:
+            # left/right balance (:392-438). Quirk mirrored: the
+            # reference indexes a single CHAR from the left neighbor
+            # (prev_text[-(rem//2 + rem%2)]), not a slice.
+            remaining = MAX_ACCEPTABLE_LEN - trimmed_len
+            prev_text = segs[m_start - 1][1]
+            next_text = segs[m_end][1]
+            left_piece = prev_text[-1 * (remaining // 2 + remaining % 2)]
+            trimmed.insert(0, [False, left_piece])
+            left_added = len(left_piece)
+            trimmed.insert(0, [False, TRIM_INDICATOR])
+            trimmed.append([False, next_text[: remaining // 2]])
+            trimmed.append([False, TRIM_INDICATOR])
+        sample["start"] -= left_added
+        sample["segments"] = trimmed
+
+    # -- expand (:480-827) --------------------------------------------
+
+    @staticmethod
+    def _should_expand(segs, expand_segs):
+        """_should_expand (:480-513): accept the expansion when it
+        lands in or moves toward the 70-90 ideal band."""
+        cur = _seglen(segs)
+        new = cur + _seglen(expand_segs)
+        if MIN_IDEAL_LEN <= new <= MAX_IDEAL_LEN:
+            return True
+        if MIN_IDEAL_LEN <= cur <= MAX_IDEAL_LEN:
+            return False
+        if cur < MIN_IDEAL_LEN and new < MIN_IDEAL_LEN:
+            return True
+        if cur > MAX_IDEAL_LEN and new > MAX_IDEAL_LEN:
+            return False
+        return not (MIN_IDEAL_LEN - cur < new - MAX_IDEAL_LEN)
+
+    def _can_expand_left(self, pos) -> bool:
+        start = pos[0]
+        if start == 0:
+            return False
+        left_start = find_sentence_start(self.text, start - 1)
+        if start >= len(self.title) and left_start < len(self.title):
+            return False
+        return left_start not in self._used
+
+    def _can_expand_right(self, pos) -> bool:
+        end = pos[0] + pos[1]
+        if end == len(self.text):
+            return False
+        if pos[0] < len(self.title):
+            right_end = find_sentence_start(self.text, end)
+            while right_end > 0 and self.text[right_end] == "\n":
+                right_end -= 1
+            if right_end >= len(self.title):
+                return False
+        return end not in self._used
+
+    def _paragraph_continues_left(self, pos) -> bool:
+        return pos[0] != 0 and not self.text[pos[0] - 1].isspace()
+
+    def _paragraph_continues_right(self, pos) -> bool:
+        end = pos[0] + pos[1]
+        return end != len(self.text) and not self.text[end].isspace()
+
+    def _left_sentence(self, pos):
+        left_start = find_sentence_start(self.text, pos[0] - 1)
+        found = self._pos_map.get(left_start, ())
+        return (
+            self._sample_segments(left_start, pos[0] - left_start, found),
+            left_start,
+        )
+
+    def _right_sentence(self, pos):
+        right_start = pos[0] + pos[1]
+        right_end = find_sentence_end(self.text, right_start)
+        found = self._pos_map.get(right_start, ())
+        return (
+            self._sample_segments(
+                right_start, right_end - right_start + 1, found
+            ),
+            right_end,
+        )
+
+    def _expand_left(self, sample, pos, only_if_paragraph_continues):
+        segs = sample["segments"]
+        while self._can_expand_left(pos) and (
+            not only_if_paragraph_continues
+            or self._paragraph_continues_left(pos)
+        ):
+            left_segs, left_start = self._left_sentence(pos)
+            if not self._should_expand(segs, left_segs):
+                break
+            segs[:0] = left_segs
+            pos = (left_start, pos[1] + pos[0] - left_start)
+            self._used.add(left_start)
+        sample["start"] = pos[0]
+        return pos
+
+    def _expand_right(self, sample, pos, only_if_paragraph_continues):
+        segs = sample["segments"]
+        while self._can_expand_right(pos) and (
+            not only_if_paragraph_continues
+            or self._paragraph_continues_right(pos)
+        ):
+            right_start = pos[0] + pos[1]
+            right_segs, right_end = self._right_sentence(pos)
+            if not self._should_expand(segs, right_segs):
+                break
+            segs.extend(right_segs)
+            pos = (pos[0], pos[1] + right_end - right_start + 1)
+            self._used.add(right_start)
+        sample["start"] = pos[0]
+        return pos
+
+    def _force_expand_left(self, sample, pos):
+        """_force_expand_left_up_to_max (:697-743): partial-sentence
+        expansion, trimming the overflowing head segment and marking it
+        with the indicator."""
+        segs = sample["segments"]
+        while self._can_expand_left(pos):
+            left_segs, left_start = self._left_sentence(pos)
+            excess = 0
+            for seg in reversed(left_segs):
+                segs.insert(0, seg)
+                new_len = _seglen(segs)
+                if new_len >= MAX_ACCEPTABLE_LEN:
+                    excess = new_len - MAX_ACCEPTABLE_LEN
+                    segs[0][1] = segs[0][1][excess:]
+                    break
+            if _seglen(segs) >= MAX_ACCEPTABLE_LEN:
+                if excess > 0:
+                    segs.insert(0, [False, TRIM_INDICATOR])
+                break
+            pos = (left_start, pos[1] + pos[0] - left_start)
+            self._used.add(left_start)
+        sample["start"] = pos[0]
+        return pos
+
+    def _force_expand_right(self, sample, pos):
+        """_force_expand_right_up_to_max (:745-793). Reference quirks
+        mirrored: the loop gates on _can_expand_LEFT and the overflow
+        trims segs[0] — in practice the loop never runs (force-right is
+        only reached once the left side is exhausted), so this is a
+        faithful no-op."""
+        segs = sample["segments"]
+        while self._can_expand_left(pos):
+            right_start = pos[0] + pos[1]
+            right_segs, right_end = self._right_sentence(pos)
+            excess = 0
+            for seg in right_segs:
+                segs.append(seg)
+                new_len = _seglen(segs)
+                if new_len >= MAX_ACCEPTABLE_LEN:
+                    excess = new_len - MAX_ACCEPTABLE_LEN
+                    segs[0][1] = segs[0][1][: len(segs[0][1]) - excess]
+                    break
+            if _seglen(segs) >= MAX_ACCEPTABLE_LEN:
+                if excess > 0:
+                    segs.append([False, TRIM_INDICATOR])
+                break
+            pos = (pos[0], pos[1] + right_end - right_start + 1)
+            self._used.add(right_start)
+        sample["start"] = pos[0]
+        return pos
+
+    def _expand(self, sample, pos):
+        """_expand_sample_text (:794-827): paragraph-continuation pass,
+        unconditional pass, then force expansion — stopping as soon as
+        the sample reaches the 50-char acceptable floor."""
+        pos = self._expand_left(sample, pos, True)
+        pos = self._expand_right(sample, pos, True)
+        if _seglen(sample["segments"]) >= MIN_ACCEPTABLE_LEN:
+            return
+        pos = self._expand_left(sample, pos, False)
+        pos = self._expand_right(sample, pos, False)
+        if _seglen(sample["segments"]) >= MIN_ACCEPTABLE_LEN:
+            return
+        pos = self._force_expand_left(sample, pos)
+        if _seglen(sample["segments"]) >= MIN_ACCEPTABLE_LEN:
+            return
+        self._force_expand_right(sample, pos)

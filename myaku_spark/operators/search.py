@@ -271,8 +271,18 @@ class UserPageCache:
 
 class IndexSearcher:
     def __init__(
-        self, spark: SparkSession, index_dir: str, mode: str = "myaku"
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        mode: str = "myaku",
+        page_cache_dir: str | None = None,
     ):
+        """``page_cache_dir``: when given, the per-user next-page cache
+        is the cross-process PageCacheTable at that path (the reference
+        Redis NextPageCache shared by all serving processes) instead of
+        this searcher's in-memory UserPageCache — a page precomputed by
+        one IndexSearcher instance is served by any other pointed at
+        the same directory."""
         self.spark = spark
         self.index_dir = index_dir
         self.mode = mode
@@ -297,7 +307,12 @@ class IndexSearcher:
         self._deleted_bc = None  # lazily created, cached per searcher
         self._docs_path = self._paths["docs"]
         self.store = SegmentBlobStore(spark, self._paths["segments"])
-        self.page_cache = UserPageCache()
+        if page_cache_dir is not None:
+            from myaku_spark.operators.topk_cache import PageCacheTable
+
+            self.page_cache = PageCacheTable(page_cache_dir)
+        else:
+            self.page_cache = UserPageCache()
         # Serializes WAND evaluation between the interactive path and
         # the async next-page precompute worker (the store's caches are
         # not concurrency-safe); RLock because the worker calls search().

@@ -23,6 +23,12 @@ only terms whose delta contains a page-1-worthy posting.
 
 from __future__ import annotations
 
+import hashlib
+import json
+import os
+import threading
+import time as _time
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -88,3 +94,113 @@ def refresh_first_page(
     )
     kept = cached_page.join(stale, "term", "left_anti")
     return kept.unionByName(fresh)
+
+
+class PageCacheTable:
+    """Cross-process per-user next-page cache: the reference's Redis
+    NextPageCache (cache.py:316-459) as a parquet slot table, so a page
+    precomputed by one serving process is served by any other (the
+    reference's celery worker writes Redis that every apiserver reads).
+
+    Layout: one directory per (user, direction) slot under ``path``,
+    holding a single tiny parquet file with columns (expiry, query_key,
+    page_num, rank, doc_id, score). set() is an atomic slot replace
+    (temp file + os.replace); get() matches user + query + page and
+    honors the 7-day TTL (_KEY_EXPIRE_SECONDS, cache.py:327); gc()
+    drops expired slots (the distributed analog of Redis key expiry —
+    run it as a maintenance job). On a cluster this maps 1:1 onto an
+    Iceberg row-level-update table or any KV store; the semantics
+    (slot-per-(user,direction), atomic replace, TTL) are identical, and
+    the table stays k·2·|active users| rows — serving-sized, never
+    corpus-sized. Results are (score, doc_id) rank tuples, the same
+    shape UserPageCache holds in memory."""
+
+    TTL_SECONDS = 60 * 60 * 24 * 7  # _KEY_EXPIRE_SECONDS, cache.py:327
+
+    def __init__(self, path: str, clock=_time.time):
+        self._path = path
+        self._clock = clock
+        os.makedirs(path, exist_ok=True)
+
+    def _slot_dir(self, user_id: str, direction: int) -> str:
+        h = hashlib.sha1(user_id.encode("utf-8")).hexdigest()[:16]
+        return os.path.join(self._path, f"{h}_{'f' if direction > 0 else 'b'}")
+
+    @staticmethod
+    def _query_key(terms, combine: str, page_num: int) -> str:
+        return json.dumps(
+            [list(terms), combine, int(page_num)], ensure_ascii=False
+        )
+
+    def set(self, user_id, direction, terms, combine, page_num, results):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        expiry = self._clock() + self.TTL_SECONDS
+        key = self._query_key(terms, combine, page_num)
+        n = len(results)
+        table = pa.table(
+            {
+                "expiry": pa.array([float(expiry)] * n, pa.float64()),
+                "query_key": pa.array([key] * n, pa.string()),
+                "rank": pa.array(range(1, n + 1), pa.int32()),
+                "doc_id": pa.array(
+                    [int(d) for _, d in results], pa.int64()
+                ),
+                "score": pa.array(
+                    [float(s) for s, _ in results], pa.float64()
+                ),
+            }
+        )
+        slot = self._slot_dir(user_id, direction)
+        os.makedirs(slot, exist_ok=True)
+        tmp = os.path.join(slot, f".tmp-{os.getpid()}-{threading.get_ident()}")
+        pq.write_table(table, tmp)
+        os.replace(tmp, os.path.join(slot, "slot.parquet"))
+
+    def get(self, user_id, terms, combine, page_num):
+        import pyarrow.parquet as pq
+
+        key = self._query_key(terms, combine, page_num)
+        for direction in (1, -1):
+            f = os.path.join(self._slot_dir(user_id, direction), "slot.parquet")
+            if not os.path.exists(f):
+                continue
+            try:
+                t = pq.read_table(f)
+            except OSError:
+                continue  # concurrent replace; treat as miss
+            if t.num_rows == 0:
+                continue
+            first = t.slice(0, 1).to_pydict()
+            if first["expiry"][0] < self._clock():
+                continue
+            if first["query_key"][0] != key:
+                continue
+            d = t.to_pydict()
+            order = sorted(range(t.num_rows), key=lambda i: d["rank"][i])
+            return [(d["score"][i], d["doc_id"][i]) for i in order]
+        return None
+
+    def gc(self) -> int:
+        """Drop expired slots; returns the number removed."""
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        now = self._clock()
+        removed = 0
+        for name in os.listdir(self._path):
+            slot = os.path.join(self._path, name)
+            f = os.path.join(slot, "slot.parquet")
+            if not os.path.isdir(slot):
+                continue
+            try:
+                t = pq.read_table(f, columns=["expiry"])
+                expired = t.num_rows == 0 or t.column("expiry")[0].as_py() < now
+            except OSError:
+                expired = not os.path.exists(f)
+            if expired:
+                shutil.rmtree(slot, ignore_errors=True)
+                removed += 1
+        return removed

@@ -220,3 +220,127 @@ def test_sample_segments_parity():
     assert sample is not None
     sentence, segs3 = sample
     assert "".join(t for _, t in segs3) == sentence.strip().replace("\n", "　")
+
+
+# --- ArticlePreview trim/expand parity (article_preview.py:272-827) ---------
+# Hand-computed goldens on articles engineered to hit each strategy; the
+# reference quirks (first-segment left_added in full-left, single-char
+# balance prepend, start-index behavior) are asserted, not corrected.
+
+
+def test_trim_full_left_remainder_right():
+    from myaku_spark.operators.previews import ArticlePreview
+
+    text = "x" * 10 + "MM" + "y" * 138 + "。"  # one 151-char sentence
+    p = ArticlePreview(text, [(10, 2)])
+    s = p.main_sample
+    assert s["segments"] == [
+        (False, "x" * 10),
+        (True, "MM"),
+        (False, "y" * 88),
+        (False, "..."),
+    ]
+    assert s["start"] == 0  # += 10 (cut lead) -= 10 (first-seg quirk)
+    assert not p.extra_samples
+
+
+def test_trim_full_right_remainder_left():
+    from myaku_spark.operators.previews import ArticlePreview
+
+    text = "x" * 140 + "MM" + "y" * 7 + "。"  # 150-char sentence
+    p = ArticlePreview(text, [(140, 2)])
+    s = p.main_sample
+    assert s["segments"] == [
+        (False, "..."),
+        (False, "x" * 90),
+        (True, "MM"),
+        (False, "y" * 7 + "。"),
+    ]
+    assert s["start"] == 50  # 140 lead chars cut, 90 re-prepended
+
+
+def test_trim_left_right_balance_single_char_quirk():
+    from myaku_spark.operators.previews import ArticlePreview
+
+    text = "x" * 150 + "MM" + "y" * 147 + "。"  # 300-char sentence
+    p = ArticlePreview(text, [(150, 2)])
+    s = p.main_sample
+    # remaining=98 → left gets prev_text[-49] (ONE char — the
+    # reference's missing-colon quirk, article_preview.py:419-422),
+    # right gets next_text[:49].
+    assert s["segments"] == [
+        (False, "..."),
+        (False, "x"),
+        (True, "MM"),
+        (False, "y" * 49),
+        (False, "..."),
+    ]
+    assert s["start"] == 149
+
+
+def test_expand_short_sentence_with_neighbors():
+    from myaku_spark.operators.previews import ArticlePreview
+
+    s1 = "あ" * 29 + "。"  # 30
+    s2 = "い" * 19 + "。"  # 20, contains the match
+    s3 = "う" * 24 + "。"  # 25
+    s4 = "え" * 39 + "。"  # 40
+    text = s1 + s2 + s3 + s4
+    p = ArticlePreview(text, [(30, 2)])
+    s = p.main_sample
+    # 20 → +s1 (50, toward ideal) → +s3 (75, lands in 70-90 ideal
+    # band) → s4 refused (75 already ideal). Start moves to s1.
+    assert s["segments"] == [
+        (False, s1),
+        (True, "いい"),
+        (False, "い" * 17 + "。"),
+        (False, s3),
+    ]
+    assert s["start"] == 0
+
+
+def test_force_expand_partial_left_sentence():
+    from myaku_spark.operators.previews import ArticlePreview
+
+    left = "あ" * 199 + "。"  # 200 — full-sentence expand refused
+    m = "い" * 19 + "。"  # 20, match at its start
+    text = left + m
+    p = ArticlePreview(text, [(200, 2)])
+    s = p.main_sample
+    # should_expand refuses 20→220 (overshoots ideal by more than the
+    # shortfall), both passes; force-expand-left then takes the TAIL of
+    # the left sentence up to the 100-char cap with a '...' marker.
+    assert s["segments"] == [
+        (False, "..."),
+        (False, "あ" * 79 + "。"),
+        (True, "いい"),
+        (False, "い" * 17 + "。"),
+    ]
+    # start stays at the sample sentence (reference: force-expand only
+    # moves text_start_index on FULL sentence adds).
+    assert s["start"] == 200
+
+
+def test_extra_samples_caps():
+    from myaku_spark.operators.previews import ArticlePreview
+
+    # Three matched sentences, article long enough that 15% allows two
+    # samples but not three.
+    s1 = "あ" * 70 + "M" + "あ" * 9 + "。"  # 81, ideal bucket
+    s2 = "い" * 60 + "M" + "い" * 9 + "。"  # 71, ideal bucket
+    s3 = "う" * 40 + "M" + "う" * 9 + "。"  # 51, acceptable-short
+    filler = ("ん" * 99 + "。") * 8  # pad article to 1003 chars
+    text = s1 + s2 + s3 + filler
+    p = ArticlePreview(text, [(70, 1), (81 + 60, 1), (81 + 71 + 40, 1)])
+    # main = best quality bucket (s1, ideal-length, already in band so
+    # no expansion fires).
+    assert p.main_sample["start"] == 0
+    assert p.main_sample["segments"] == [
+        (False, "あ" * 70),
+        (True, "M"),
+        (False, "あ" * 9 + "。"),
+    ]
+    # s2 would push cumulative preview length to 152/1003 > 15% of the
+    # article → popped; sampling stops (the reference's
+    # _MAX_PREVIEW_ARTICLE_PERCENT gate, article_preview.py:185-193).
+    assert p.extra_samples == []

@@ -185,3 +185,51 @@ def test_search_page_async_precompute(spark, head_idx):
     assert sorted(r1) == sorted(
         (r.doc_id, r.score) for r in sync1.collect()
     )
+
+
+def test_page_cache_table_semantics(tmp_path):
+    from myaku_spark.operators.topk_cache import PageCacheTable
+
+    t = [0.0]
+    c = PageCacheTable(str(tmp_path / "pc"), clock=lambda: t[0])
+    c.set("u1", 1, ["猫"], "and", 2, [(9.0, 7), (8.0, 3)])
+    assert c.get("u1", ["猫"], "and", 2) == [(9.0, 7), (8.0, 3)]
+    assert c.get("u2", ["猫"], "and", 2) is None
+    assert c.get("u1", ["犬"], "and", 2) is None
+    assert c.get("u1", ["猫"], "or", 2) is None
+    c.set("u1", 1, ["猫"], "and", 3, [(7.0, 1)])
+    assert c.get("u1", ["猫"], "and", 2) is None
+    assert c.get("u1", ["猫"], "and", 3) == [(7.0, 1)]
+    # TTL + gc (the Redis-expiry analog).
+    t[0] += PageCacheTable.TTL_SECONDS + 1
+    assert c.get("u1", ["猫"], "and", 3) is None
+    assert c.gc() == 1
+    assert c.gc() == 0
+
+
+def test_page_cache_shared_across_searchers(spark, head_idx, tmp_path):
+    # r3 verdict #7: the reference's Redis next-page cache survives
+    # across serving processes (cache.py:316-459) — a page precomputed
+    # by one IndexSearcher must be served by a SECOND instance without
+    # re-running WAND.
+    pc = str(tmp_path / "shared_pcache")
+    s1 = IndexSearcher(spark, head_idx, mode="myaku", page_cache_dir=pc)
+    s1.search_page(["head"], page_num=1, k=3, combine="or", user_id="u7")
+
+    s2 = IndexSearcher(spark, head_idx, mode="myaku", page_cache_dir=pc)
+    calls = {"n": 0}
+    orig = s2.search
+
+    def counted(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    s2.search = counted
+    p2 = s2.search_page(["head"], page_num=2, k=3, combine="or", user_id="u7")
+    assert calls["n"] == 0  # served from the shared table
+    got = [(r.doc_id, r.score) for r in p2.collect()]
+    fresh = IndexSearcher(spark, head_idx, mode="myaku")
+    expect = [
+        (d, sc) for sc, d in fresh.search(["head"], k=6, combine="or")[3:6]
+    ]
+    assert sorted(got) == sorted(expect)
