@@ -65,6 +65,34 @@ def main() -> None:
         force(QUERIES[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
 
+    # ngram-Jaccard verify on a boilerplate-HEAVY corpus: every doc
+    # shares a 25-token footer, so co-shingle pairs are quadratic in the
+    # corpus without the candidate prune. The timing measures the pruned
+    # plan (semi-joins below the self-join) verifying 50 seeded twin
+    # pairs against 1550 footer-sharing docs.
+    from myaku_spark.operators.dedup import ngram_jaccard, shingles
+
+    footer = " ".join(f"navfooter{i}" for i in range(25))
+    base = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 1500)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" " + footer)))
+    )
+    twins = base.filter(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    cands = spark.range(50).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 100000).alias("doc_b")
+    )
+    t0 = time.time()
+    force(
+        ngram_jaccard(
+            shingles(base.unionByName(twins), k=3), candidates=cands
+        ).filter(F.col("jaccard") >= 0.9)
+    )
+    timings["ngram_jaccard_boiler"] = round(time.time() - t0, 3)
+
     # Headline: the real Japanese index build (extract UDF → tokenize UDF
     # → postings → scored → compressed segments → checkpoints) over a
     # deterministic synthesized pages table scaled to the SF.
@@ -195,6 +223,66 @@ def main() -> None:
     ).count()
     timings["wand_batch_128q_prefilter"] = round(time.time() - t0, 3)
 
+    # 128 phrase queries in ONE constant-size plan (batch_phrase_match):
+    # 64 real top-bigram phrases + 64 unlikely pairs over the documents
+    # corpus, evaluated against one decode of the union of their terms.
+    from pyspark.sql import Window as W3
+
+    from myaku_spark.driver_queries import _tokens
+    from myaku_spark.operators.phrase import batch_phrase_search
+    from myaku_spark.operators.segments import build_segments
+
+    toks = _tokens(spark, sf_dir)
+    wb = W3.partitionBy("doc_id").orderBy("start")
+    bigr = (
+        toks.withColumn("nxt", F.lead("term").over(wb))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("term", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "term", "nxt")
+        .limit(64)
+        .collect()
+    )
+    phrase_queries = [(f"hit{i}", [r.term, r.nxt]) for i, r in enumerate(bigr)]
+    top_unigrams = sorted({r.term for r in bigr})
+    for i in range(64):
+        a = top_unigrams[i % len(top_unigrams)]
+        b = top_unigrams[(i * 11 + 5) % len(top_unigrams)]
+        phrase_queries.append((f"miss{i}", [a, b]))
+    needed = sorted({t for _, ts in phrase_queries for t in ts})
+    p_postings = (
+        toks.filter(F.col("term").isin(needed))
+        .groupBy("doc_id", "term")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("tf"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("start").cast("int").alias("start"),
+                        F.col("len").cast("int").alias("len"),
+                    )
+                )
+            ).alias("positions"),
+        )
+        .withColumn("score", F.col("tf"))
+        .persist()
+    )
+    phrase_segs = build_segments(p_postings, payload_col="score").persist()
+    phrase_segs.count()  # materialize outside the timed window
+    t0 = time.time()
+    n_phrase_rows = batch_phrase_search(
+        spark, phrase_segs, phrase_queries, k=10, gap=1
+    ).count()
+    phrase_batch_sec = time.time() - t0
+    timings["phrase_batch_128q"] = round(phrase_batch_sec, 3)
+    phrase_qps = (
+        round(len(phrase_queries) / phrase_batch_sec, 1)
+        if phrase_batch_sec > 0
+        else 0.0
+    )
+    phrase_segs.unpersist()
+    p_postings.unpersist()
+
     shutil.rmtree(idx_dir, ignore_errors=True)
     pages.unpersist()
 
@@ -218,6 +306,9 @@ def main() -> None:
                 "batch_queries": n_q,
                 "batch_qps": batch_qps,
                 "batch_result_rows": int(n_batch_rows),
+                "phrase_batch_queries": len(phrase_queries),
+                "phrase_batch_qps": phrase_qps,
+                "phrase_batch_result_rows": int(n_phrase_rows),
                 "cpus": cpus,
             }
         )
