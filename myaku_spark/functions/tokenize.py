@@ -238,6 +238,7 @@ def tokenize_ja_block(
         pieces = d.pieces_for(m.group(), _sentence_initial(block, s))
         cur = s
         for psurf, pbase, ppos in pieces:
+            conj = d.conj_map.get((psurf, pbase, ppos))
             tokens.append(
                 dict(
                     surface=psurf,
@@ -245,6 +246,8 @@ def tokenize_ja_block(
                     start=offset + cur,
                     length=len(psurf),
                     pos=ppos,
+                    conj_type=conj[0] if conj else None,
+                    conj_form=conj[1] if conj else None,
                 )
             )
             cur += len(psurf)
@@ -285,6 +288,7 @@ def tokenize_ja_block_slow(
         for psurf, pbase, ppos in d.pieces_for(
             matched, _sentence_initial(block, i)
         ):
+            conj = d.conj_map.get((psurf, pbase, ppos))
             tokens.append(
                 dict(
                     surface=psurf,
@@ -292,6 +296,8 @@ def tokenize_ja_block_slow(
                     start=offset + cur,
                     length=len(psurf),
                     pos=ppos,
+                    conj_type=conj[0] if conj else None,
+                    conj_form=conj[1] if conj else None,
                 )
             )
             cur += len(psurf)
@@ -537,7 +543,10 @@ def explode_ja_tokens(
     base_cols = ["doc_id", "term", "start", "len"]
     schema = "doc_id long, term string, start int, len int"
     if include_analysis:
-        schema += ", pos string, sources array<int>, entry_id string"
+        schema += (
+            ", pos string, sources array<int>, entry_id string"
+            ", conj_type string, conj_form string"
+        )
 
     def gen(batches):
         for pdf in batches:
@@ -546,6 +555,8 @@ def explode_ja_tokens(
                 out["pos"] = []
                 out["sources"] = []
                 out["entry_id"] = []
+                out["conj_type"] = []
+                out["conj_form"] = []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 if text is None:
                     continue
@@ -558,6 +569,13 @@ def explode_ja_tokens(
                         out["pos"].append(t["pos"])
                         out["sources"].append(t.get("sources", [1]))
                         out["entry_id"].append(t.get("entry_id"))
+                        # MecabLexicalItemInterp conjugated_type/form
+                        # (datatypes.py:329-342), from the ipadic CSV
+                        # rows' tag-5/6 analog; None for OOV runs and
+                        # JMdict meta items (which carry no MeCab
+                        # interp, japanese_analysis.py:352-360).
+                        out["conj_type"].append(t.get("conj_type"))
+                        out["conj_form"].append(t.get("conj_form"))
             yield pd.DataFrame(out)
 
     return df.select(

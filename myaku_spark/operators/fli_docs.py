@@ -86,12 +86,22 @@ def build_fli_documents(
     a = analysis
     if terms is not None:
         a = a.filter(F.col("term").isin(list(terms)))
+    # Older sidecars predate the conjugation columns; treat as untagged.
+    for c in ("conj_type", "conj_form"):
+        if c not in a.columns:
+            a = a.withColumn(c, F.lit(None).cast("string"))
     interp = F.struct(
         F.array_join(
             F.transform(F.col("sources"), lambda x: x.cast("string")), ","
         ).alias("interp_sources"),
         F.coalesce(F.col("entry_id"), F.lit("")).alias("jmdict_entry_id"),
         F.coalesce(F.col("pos"), F.lit("")).alias("parts_of_speech"),
+        # MecabLexicalItemInterp conjugated_type/form
+        # (datatypes.py:329-342): part of interp identity, so positions
+        # of e.g. 曇り vs 曇った in one article land on DISTINCT interps
+        # exactly as the reference's dataclass equality implies.
+        F.coalesce(F.col("conj_type"), F.lit("")).alias("conjugated_type"),
+        F.coalesce(F.col("conj_form"), F.lit("")).alias("conjugated_form"),
     )
     per_interp = (
         a.select("doc_id", "term", "start", "len", interp.alias("interp"))

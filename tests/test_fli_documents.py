@@ -258,3 +258,58 @@ def test_search_fli_documents_per_family(spark):
     with pytest.raises(ValueError, match="query_type"):
         search_fli_documents(fli, term, "fuzzy")
     fli.unpersist()
+
+
+def test_golden_interps_carry_no_conjugation(fli_docs):
+    # Every golden FLI's mecab_interp has conjugated_type/form = None
+    # (test_crawl.py — the 14 golden terms are uninflected); the interp
+    # structs must not invent tags for them.
+    flis = golden_fli_expectations()
+    checked = 0
+    for term, docs in flis.items():
+        for g in docs:
+            r = fli_docs[(term, g["title"])]
+            for i in r.possible_interps:
+                assert i["conjugated_type"] == "", (term, g["title"])
+                assert i["conjugated_form"] == "", (term, g["title"])
+            checked += 1
+    assert checked == 24
+
+
+def test_interps_split_by_conjugated_form(spark):
+    # MecabLexicalItemInterp includes conjugated_type/form in interp
+    # identity (datatypes.py:329-342), so one article containing 曇り
+    # and 曇った yields TWO possible_interps for 曇る and an
+    # interp_position_map assigning each position to its form — the
+    # reduce semantics of datatypes.py:428-505.
+    from myaku_spark.functions.tokenize import explode_ja_tokens
+    from myaku_spark.operators.fli_docs import build_fli_documents
+
+    docs = spark.createDataFrame(
+        [(1, "空が曇った。空が曇りだす。", "u1", 1000,
+          __import__("datetime").datetime(2026, 1, 1))],
+        ["doc_id", "text", "url", "doc_score", "doc_ts"],
+    )
+    fli = build_fli_documents(
+        explode_ja_tokens(docs, "text", "doc_id", include_analysis=True),
+        docs,
+    )
+    r = [x for x in fli.collect() if x.base_form == "曇る"][0]
+    forms = sorted(
+        (i["conjugated_type"], i["conjugated_form"])
+        for i in r.possible_interps
+    )
+    assert forms == [
+        ("五段・ラ行", "連用タ接続"),
+        ("五段・ラ行", "連用形"),
+    ]
+    # Both interps are partial → the map must assign each position to
+    # exactly one form.
+    assert r.interp_position_map is not None
+    by_form = {}
+    for entry in r.interp_position_map:
+        interp = r.possible_interps[entry["interp_idx"]]
+        by_form[interp["conjugated_form"]] = {
+            (p["start"], p["len"]) for p in entry["positions"]
+        }
+    assert by_form == {"連用タ接続": {(2, 2)}, "連用形": {(8, 2)}}

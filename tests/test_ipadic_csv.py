@@ -174,12 +174,21 @@ def test_default_dictionary_is_csv_backed():
 
 
 def test_golden_corpus_tokenization_identical_csv_vs_builtin():
+    # Identical token streams modulo the conjugation tags, which only
+    # the CSV rows carry (the builtin tables are the tag-free
+    # generator source).
+    def strip(toks):
+        return [
+            {k: v for k, v in t.items() if not k.startswith("conj_")}
+            for t in toks
+        ]
+
     d_csv = JaDictionary()
     d_builtin = JaDictionary(use_builtin_words=True)
     for title, text in golden_article_texts().items():
         for block in text.split("\n"):
-            assert tokenize_ja_block(block, 0, d_csv) == tokenize_ja_block(
-                block, 0, d_builtin
+            assert strip(tokenize_ja_block(block, 0, d_csv)) == strip(
+                tokenize_ja_block(block, 0, d_builtin)
             ), title
 
 
@@ -192,3 +201,36 @@ def test_custom_csv_path_pins_version(tmp_path):
     # conjunction-rule surfaces stay regex members with any word source
     for s in CONJUNCTION_RULES:
         assert s in d.surface_map
+
+
+# --- conjugation tags through the tokenizer (MecabLexicalItemInterp
+# conjugated_type/form, datatypes.py:329-342) -------------------------------
+
+
+def test_tokens_carry_conjugation_tags():
+    from myaku_spark.functions.tokenize import tokenize_ja_text
+
+    toks = {t["surface"]: t for t in tokenize_ja_text("空が曇った。")}
+    t = toks["曇っ"]
+    assert (t["base"], t["conj_type"], t["conj_form"]) == (
+        "曇る", "五段・ラ行", "連用タ接続"
+    )
+    # OOV script-run tokens carry no conjugation interp.
+    assert toks["空"].get("conj_type") is None
+
+
+def test_sidecar_has_conjugation_columns(spark):
+    from myaku_spark.functions.tokenize import explode_ja_tokens
+
+    docs = spark.createDataFrame(
+        [(1, "空が曇った。")], ["doc_id", "text"]
+    )
+    rows = {
+        (r.term, r.start): r
+        for r in explode_ja_tokens(
+            docs, "text", "doc_id", include_analysis=True
+        ).collect()
+    }
+    got = rows[("曇る", 2)]
+    assert (got.conj_type, got.conj_form) == ("五段・ラ行", "連用タ接続")
+    assert rows[("空", 0)].conj_type is None
