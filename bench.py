@@ -102,7 +102,7 @@ def main() -> None:
     from myaku_spark.plans.build_index import build_index
     from myaku_spark.sources.pages import synth_pages_df
 
-    sf_name = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    sf_name = os.path.basename(sf_dir.rstrip("/")).rsplit("sf", 1)[-1]
     try:
         n_pages = max(200, int(float(sf_name) * 20000))
     except ValueError:
@@ -287,7 +287,11 @@ def main() -> None:
     pages.unpersist()
 
     total = round(sum(timings.values()) + build_sec, 3)
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    sf_tail = os.path.basename(sf_dir.rstrip("/")).rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf_tail)
+    except ValueError:
+        sf = None
     print(
         json.dumps(
             {
@@ -295,7 +299,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf else None,
+                "sf": sf,
                 "n_docs": n_docs,
                 "index_build_pages": n_pages,
                 "index_build_sec": round(build_sec, 3),

@@ -1016,6 +1016,74 @@ def _interp_position_map_values() -> str:
     )
 
 
+def q_conj_interp_rollup(spark, sf_dir):
+    """Conjugation-interp surface in the gate (round 4): per (url, term)
+    over the synth corpus, how many DISTINCT conjugated forms the
+    term's dictionary interps take in the doc, how many positions carry
+    a conjugation tag, and where the first tagged position is — the
+    MecabLexicalItemInterp conjugated_type/form fields
+    (datatypes.py:329-342) that the ipadic word layer now threads
+    through the analysis sidecar. Oracle = VALUES from the pure-Python
+    tokenizer twin."""
+    from myaku_spark.functions.tokenize import explode_ja_tokens
+    from myaku_spark.plans.build_index import extract_and_dedupe
+    from myaku_spark.sources.pages import synth_pages_df
+
+    pages = synth_pages_df(spark, 300, partitions=8)
+    docs = extract_and_dedupe(pages).withColumn("doc_id", F.xxhash64("url"))
+    toks = explode_ja_tokens(docs, "text", "doc_id", include_analysis=True)
+    agg = (
+        toks.groupBy("doc_id", "term")
+        .agg(
+            F.countDistinct("conj_form").cast("long").alias("n_conj_forms"),
+            F.sum(F.when(F.col("conj_form").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_tagged_positions"),
+            F.min(F.when(F.col("conj_form").isNotNull(), F.col("start")))
+            .cast("int")
+            .alias("first_tagged_start"),
+        )
+        .filter(F.col("n_tagged_positions") > 0)
+    )
+    return agg.join(docs.select("doc_id", "url"), "doc_id").select(
+        "url", "term", "n_conj_forms", "n_tagged_positions",
+        "first_tagged_start",
+    )
+
+
+def _conj_interp_rollup_values() -> str:
+    from myaku_spark.functions.tokenize import tokenize_ja_text
+    from myaku_spark.sources.pages import synth_page
+
+    rows = []
+    for i in range(300):
+        p = synth_page(i)
+        per_term: dict[str, list] = {}
+        for t in tokenize_ja_text(p["text"]):
+            per_term.setdefault(t["term"], []).append(
+                (t.get("conj_form"), t["start"])
+            )
+        for term, occ in per_term.items():
+            tagged = [(f, s) for f, s in occ if f is not None]
+            if tagged:
+                rows.append(
+                    (
+                        p["url"],
+                        term,
+                        len({f for f, _ in tagged}),
+                        len(tagged),
+                        min(s for _, s in tagged),
+                    )
+                )
+    return _values_sql(
+        rows,
+        [
+            "url", "term", "n_conj_forms", "n_tagged_positions",
+            "first_tagged_start",
+        ],
+    )
+
+
 def q_fli_rollup(spark, sf_dir):
     """FLI-document surface in the gate: build the reference-shaped
     found-lexical-item documents (operators/fli_docs.py) over the synth
@@ -2017,6 +2085,9 @@ QUERIES = {
     "tpch_filter_revenue": q_tpch_filter_revenue,
     "tpch_returned_topk": q_tpch_returned_topk,
     "region_rollup": q_region_rollup,
+    # New in round 4 — placed inside the 50-query report window so it
+    # gets a driver-verified row on its first appearance.
+    "conj_interp_rollup": q_conj_interp_rollup,
     "token_positions": q_token_positions,
     "postings_build": q_postings_build,
     "posting_positions": q_posting_positions,
@@ -2592,6 +2663,7 @@ FROM bands l JOIN bands r
 WHERE bit_count(xor(l.simhash, r.simhash)) <= {SH_MAX_HAMMING}
 """,
     "interp_position_map": _interp_position_map_values(),
+    "conj_interp_rollup": _conj_interp_rollup_values(),
     "fli_rollup": _fli_rollup_values(),
     "fli_field_families": _fli_field_families_values(),
     "blog_rollup": _blog_rollup_values(),
