@@ -619,3 +619,66 @@ class ArticlePreview:
         if _seglen(sample["segments"]) >= MIN_ACCEPTABLE_LEN:
             return
         self._force_expand_right(sample, pos)
+
+
+def _full_preview_udf(title: str = ""):
+    """Lazily-built pandas UDF: per result row, run the FULL sample
+    shaping (ArticlePreview: trim / expand / extra samples) and return
+    the preview as a JSON string — the convert_sample_text_to_json
+    payload (article_preview.py:104-119) with main + extra samples.
+    One Arrow batch covers the ≤ k·pages result rows, so the work is
+    result-sized, never corpus-sized."""
+    import json as _json
+
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def full_preview(
+        text: pd.Series, starts: pd.Series, lens: pd.Series
+    ) -> pd.Series:
+        def run(t, s, ln):
+            if t is None or s is None or len(s) == 0:
+                return None
+            p = ArticlePreview(t, list(zip(s, ln)), title=title)
+            def pack(sample):
+                return {
+                    "textStartPos": int(sample["start"]),
+                    "segments": [
+                        {"isQueryMatch": bool(m), "text": txt}
+                        for m, txt in sample["segments"]
+                    ],
+                }
+            return _json.dumps(
+                {
+                    "main": pack(p.main_sample),
+                    "extra": [pack(s_) for s_ in p.extra_samples],
+                },
+                ensure_ascii=False,
+            )
+
+        return pd.Series(
+            [run(t, s, ln) for t, s, ln in zip(text, starts, lens)]
+        )
+
+    return full_preview
+
+
+def attach_full_previews(
+    hydrated: DataFrame,
+    texts: DataFrame,
+    starts_col: str = "match_starts",
+    lens_col: str = "match_lens",
+    text_col: str = "text",
+) -> DataFrame:
+    """K4 full preview at scale: results carrying ALL matched positions
+    ⋈ texts → + preview_json = the complete trimmed/expanded sample
+    payload (main + extra samples) the reference API serves. The UDF
+    sees only result rows (≤ k·pages), the text join is the same
+    broadcast-sized hydration join as attach_ranked_previews."""
+    joined = hydrated.join(texts.select("doc_id", text_col), "doc_id", "left")
+    return joined.withColumn(
+        "preview_json",
+        _full_preview_udf()(
+            F.col(text_col), F.col(starts_col), F.col(lens_col)
+        ),
+    ).drop(text_col)

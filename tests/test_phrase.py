@@ -396,3 +396,75 @@ def test_batch_phrase_plan_constant_in_n(spark):
     for node in ("Union", "Join", "Aggregate", "Project", "Filter"):
         assert p64.count(node) == p2.count(node), node
     assert len(p64) <= int(len(p2) * 1.05) + 64
+
+
+def test_batch_phrase_randomized_vs_python_twin(spark):
+    # Property sweep: 40 random whitespace docs, 24 random phrase
+    # queries (lengths 1-3, repeats allowed), gap=1 at slop 0 and 4 —
+    # batch results must equal a pure-Python positional chain twin that
+    # replicates the branching window semantics independently.
+    import random
+
+    from myaku_spark.operators.phrase import batch_phrase_search
+
+    rng = random.Random(42)
+    vocab = ["a", "b", "c", "d", "e", "f"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 20))))
+        for i in range(40)
+    ]
+
+    def doc_positions(text):
+        per = {}
+        off = 0
+        for w in text.split(" "):
+            per.setdefault(w, []).append((off, len(w)))
+            off += len(w) + 1
+        return per
+
+    def twin(text, terms, gap, slop):
+        per = doc_positions(text)
+        if any(t not in per for t in terms):
+            return (0, [])
+        cands = [(s, s + l) for s, l in per[terms[0]]]
+        for t in terms[1:]:
+            new = []
+            for head, end in cands:
+                for s, l in per[t]:
+                    if end + gap <= s <= end + gap + slop:
+                        new.append((head, s + l))
+            if slop > 0:  # array_distinct semantics of the branch path
+                seen, ded = set(), []
+                for c in new:
+                    if c not in seen:
+                        seen.add(c)
+                        ded.append(c)
+                new = ded
+            cands = new
+        heads, seen = [], set()
+        for h, _ in cands:
+            if h not in seen:
+                seen.add(h)
+                heads.append(h)
+        return (len(heads), heads)
+
+    queries = [
+        (f"q{i}", [rng.choice(vocab) for _ in range(rng.randint(1, 3))])
+        for i in range(24)
+    ]
+    segs = _segments_for(spark, docs)
+    for slop in (0, 4):
+        got = {}
+        for r in batch_phrase_search(
+            spark, segs, queries, k=1000, gap=1, slop=slop
+        ).collect():
+            got.setdefault(r.query_id, {})[r.doc_id] = (
+                int(r.phrase_tf), list(r.match_starts)
+            )
+        for qid, terms in queries:
+            want = {}
+            for doc_id, text in docs:
+                tf, heads = twin(text, terms, 1, slop)
+                if tf:
+                    want[doc_id] = (tf, heads)
+            assert got.get(qid, {}) == want, (slop, qid, terms)

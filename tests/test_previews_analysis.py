@@ -344,3 +344,42 @@ def test_extra_samples_caps():
     # article → popped; sampling stops (the reference's
     # _MAX_PREVIEW_ARTICLE_PERCENT gate, article_preview.py:185-193).
     assert p.extra_samples == []
+
+
+def test_attach_full_previews_distributed(spark):
+    # The full trim/expand shaping as a distributed operator: the UDF
+    # output must equal a direct ArticlePreview run per row.
+    import json
+
+    from myaku_spark.operators.previews import (
+        ArticlePreview,
+        attach_full_previews,
+    )
+
+    text_long = "x" * 10 + "MM" + "y" * 138 + "。"  # trim path
+    text_short = (
+        "あ" * 29 + "。" + "い" * 19 + "。" + "う" * 24 + "。" + "え" * 39 + "。"
+    )  # expand path
+    rows = [(1, [10], [2]), (2, [30], [2]), (3, None, None)]
+    hyd = spark.createDataFrame(
+        rows, "doc_id long, match_starts array<int>, match_lens array<int>"
+    )
+    texts = spark.createDataFrame(
+        [(1, text_long), (2, text_short)], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: r.preview_json
+        for r in attach_full_previews(hyd, texts).collect()
+    }
+    for doc_id, text, pos in [(1, text_long, [(10, 2)]), (2, text_short, [(30, 2)])]:
+        p = ArticlePreview(text, pos)
+        want_main = {
+            "textStartPos": p.main_sample["start"],
+            "segments": [
+                {"isQueryMatch": m, "text": t}
+                for m, t in p.main_sample["segments"]
+            ],
+        }
+        got = json.loads(out[doc_id])
+        assert got["main"] == want_main, doc_id
+    assert out[3] is None  # no positions → no preview
