@@ -112,7 +112,11 @@ def lsh_candidate_pairs(
     clusters whose pairs explode quadratically; handle them with exact
     dedup or a dedicated clustering pass)."""
     per_band = n_hashes // n_bands
-    bands = []
+    # One explode, not an n_bands-way union: a union of per-band selects
+    # duplicates the signature AGGREGATION subplan per band (n_bands
+    # scans + n_bands shuffles of the shingle stream); the explode
+    # computes signatures once and fans out band rows in-projection.
+    band_structs = []
     for bnd in range(n_bands):
         bucket = F.lit(0).cast("long")
         for j in range(per_band):
@@ -120,14 +124,16 @@ def lsh_candidate_pairs(
                 bucket * F.lit(1_000_003) + F.col(f"mh{bnd * per_band + j}"),
                 F.lit(MH_PRIME),
             )
-        bands.append(
-            signatures.select(
-                "doc_id", F.lit(bnd).alias("band"), bucket.alias("bucket")
-            )
+        band_structs.append(
+            F.struct(F.lit(bnd).alias("band"), bucket.alias("bucket"))
         )
-    allb = bands[0]
-    for b in bands[1:]:
-        allb = allb.unionByName(b)
+    allb = signatures.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select(
+        "doc_id",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
     sizes = allb.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
     allb = allb.join(
         sizes.filter(F.col("n") <= max_bucket), ["band", "bucket"]
@@ -244,23 +250,28 @@ def simhash_near_dups(
     Pigeonhole banding: split the 64 bits into n_bands 16-bit bands; any
     pair within hamming d < n_bands shares at least one exact band →
     band-bucket join then exact hamming filter via bit_count(xor)."""
-    bands = []
+    # Single-scan band fan-out (see lsh_candidate_pairs): the simhash
+    # aggregation upstream runs once, not once per band branch.
+    band_structs = []
     for bnd in range(n_bands):
         shift = bnd * (64 // n_bands)
         mask = (1 << (64 // n_bands)) - 1
-        bands.append(
-            sim.select(
-                "doc_id",
-                "simhash",
+        band_structs.append(
+            F.struct(
                 F.lit(bnd).alias("band"),
                 F.shiftright(F.col("simhash"), shift)
                 .bitwiseAND(F.lit(mask))
                 .alias("bucket"),
             )
         )
-    allb = bands[0]
-    for b in bands[1:]:
-        allb = allb.unionByName(b)
+    allb = sim.select(
+        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bb")
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
     left, right = allb.alias("l"), allb.alias("r")
     pairs = (
         left.join(
