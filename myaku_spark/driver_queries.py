@@ -197,6 +197,87 @@ def q_bm25_topk(spark, sf_dir):
     )
 
 
+RRF_TERM = "spark"
+RRF_C = 60  # the standard RRF constant
+RRF_TOPN = 50
+
+
+def q_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval: lexical BM25 top-50 for one query term fused
+    with cosine top-50 of a query vector (vec 0 over docs ≥ 1) by
+    reciprocal-rank fusion, rrf = Σ 1/(60+rank) (Cormack et al. 2009,
+    public method). Spark shape: each leg prunes to its own top-N
+    BEFORE the fuse, so the full-outer join and the final top-20 see at
+    most 2·N rows — the corpus-sized work stays inside the two ranked
+    legs, which are the already-oracled bm25/cosine plans."""
+    toks = _tokens(spark, sf_dir)
+    p = post_ops.build_postings(toks)
+    ds = post_ops.doc_stats(toks)
+    scored = bm25_ops.attach_bm25(
+        p, post_ops.term_stats(p), ds, post_ops.corpus_stats(ds)
+    )
+    lex = (
+        scored.filter(F.col("term") == RRF_TERM)
+        .withColumn(
+            "lex_rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("bm25"), F.desc("doc_id"))
+            ),
+        )
+        .filter(F.col("lex_rank") <= RRF_TOPN)
+        .select("doc_id", F.col("lex_rank").cast("int").alias("lex_rank"))
+    )
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    cand = emb.filter(F.col("vec_id") >= 1)
+    dot = F.expr(
+        "aggregate(zip_with(embedding, q_emb, (x, y) ->"
+        " cast(x as double) * cast(y as double)), 0.0d, (acc, v) -> acc + v)"
+    )
+    na = F.expr(
+        "sqrt(aggregate(embedding, 0.0d, (acc, v) ->"
+        " acc + cast(v as double) * cast(v as double)))"
+    )
+    nb = F.expr(
+        "sqrt(aggregate(q_emb, 0.0d, (acc, v) ->"
+        " acc + cast(v as double) * cast(v as double)))"
+    )
+    vec = (
+        cand.crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"), (dot / (na * nb)).alias("cos")
+        )
+        .withColumn(
+            "vec_rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("cos"), F.desc("doc_id"))
+            ),
+        )
+        .filter(F.col("vec_rank") <= RRF_TOPN)
+        .select("doc_id", F.col("vec_rank").cast("int").alias("vec_rank"))
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_C) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_C) + F.col("vec_rank")), F.lit(0.0)
+    )
+    return (
+        lex.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("lex_rank", F.lit(-1)).alias("lex_rank"),
+            F.coalesce("vec_rank", F.lit(-1)).alias("vec_rank"),
+            F.round(rrf, 6).alias("rrf_r"),
+            rrf.alias("_o"),
+        )
+        .orderBy(F.desc("_o"), "doc_id")
+        .limit(20)
+        .drop("_o")
+    )
+
+
 def q_search_and(spark, sf_dir):
     """J7: posting-list intersection (multi-term AND) + summed BM25."""
     toks = _tokens(spark, sf_dir)
@@ -2088,6 +2169,7 @@ QUERIES = {
     # New in round 4 — placed inside the 50-query report window so it
     # gets a driver-verified row on its first appearance.
     "conj_interp_rollup": q_conj_interp_rollup,
+    "rrf_fusion": q_rrf_fusion,
     "token_positions": q_token_positions,
     "postings_build": q_postings_build,
     "posting_positions": q_posting_positions,
@@ -2365,6 +2447,47 @@ ranked AS (
 )
 SELECT term, doc_id, tf, CAST(rank AS INT) AS rank, round(bm25, 3) AS bm25_r
 FROM ranked WHERE rank <= 10
+""",
+    "rrf_fusion": f"""
+WITH {_SQL_BM25},
+lexr AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id DESC) AS INT)
+           AS lex_rank
+  FROM scored WHERE term = '{RRF_TERM}'
+),
+lex AS (SELECT * FROM lexr WHERE lex_rank <= {RRF_TOPN}),
+q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 1),
+pairs AS (SELECT c.vec_id, c.embedding, q.q_emb FROM c, q),
+expl AS (
+  SELECT vec_id,
+         CAST(unnest(embedding) AS DOUBLE) AS x,
+         CAST(unnest(q_emb) AS DOUBLE) AS y
+  FROM pairs
+),
+sums AS (
+  SELECT vec_id, sum(x * y) AS dot, sqrt(sum(x * x)) AS na,
+         sqrt(sum(y * y)) AS nb
+  FROM expl GROUP BY vec_id
+),
+vecr AS (
+  SELECT vec_id AS doc_id,
+         CAST(row_number() OVER (ORDER BY dot / (na * nb) DESC, vec_id DESC)
+              AS INT) AS vec_rank
+  FROM sums
+),
+vec AS (SELECT * FROM vecr WHERE vec_rank <= {RRF_TOPN}),
+fused AS (
+  SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+         lex.lex_rank, vec.vec_rank,
+         COALESCE(CAST(1 AS DOUBLE) / ({RRF_C} + lex.lex_rank), 0)
+           + COALESCE(CAST(1 AS DOUBLE) / ({RRF_C} + vec.vec_rank), 0) AS rrf
+  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+)
+SELECT doc_id, COALESCE(lex_rank, -1) AS lex_rank,
+       COALESCE(vec_rank, -1) AS vec_rank, round(rrf, 6) AS rrf_r
+FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
 """,
     "search_and": f"""
 WITH {_SQL_BM25}
