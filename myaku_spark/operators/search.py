@@ -276,13 +276,20 @@ class IndexSearcher:
         index_dir: str,
         mode: str = "myaku",
         page_cache_dir: str | None = None,
+        version: int | None = None,
     ):
         """``page_cache_dir``: when given, the per-user next-page cache
         is the cross-process PageCacheTable at that path (the reference
         Redis NextPageCache shared by all serving processes) instead of
         this searcher's in-memory UserPageCache — a page precomputed by
         one IndexSearcher instance is served by any other pointed at
-        the same directory."""
+        the same directory.
+
+        ``version``: time travel — serve a PAST catalog snapshot still
+        referenced by the live pointer's previous-chain (Iceberg
+        read-at-snapshot-id). The searcher pins that version's full
+        (segments, docs, tombstones, stats) triple, so results are the
+        index exactly as published then."""
         self.spark = spark
         self.index_dir = index_dir
         self.mode = mode
@@ -295,7 +302,12 @@ class IndexSearcher:
         from myaku_spark.plans import catalog
         from myaku_spark.plans.incremental import load_tombstones
 
-        self._catalog, self._paths = catalog.resolve(index_dir)
+        if version is None:
+            self._catalog, self._paths = catalog.resolve(index_dir)
+        else:
+            self._catalog, self._paths = catalog.at_version(
+                index_dir, version
+            )
         deleted = load_tombstones(spark, index_dir, path=self._paths["tombstones"])
         # Sorted array, not a set: block decode applies tombstones with
         # one vectorized np.isin instead of a per-posting Python loop.

@@ -58,6 +58,58 @@ def resolve(index_dir: str) -> tuple[dict, dict]:
     return entry, paths
 
 
+def _normalized(entry: dict) -> dict:
+    e = dict(entry)
+    for k, v in _V0.items():
+        e.setdefault(k, v)
+    return e
+
+
+def versions(index_dir: str) -> list[int]:
+    """Version numbers reachable from the live pointer, newest first —
+    the snapshot history an Iceberg metadata.json carries."""
+    entry: dict | None = current(index_dir)
+    out = []
+    while entry is not None:
+        out.append(int(entry.get("version", 0)))
+        prev = entry.get("previous")
+        entry = _normalized(prev) if prev is not None else None
+    return out
+
+
+def at_version(index_dir: str, version: int) -> tuple[dict, dict]:
+    """Time travel: resolve the catalog entry of a PAST version still
+    referenced by the live pointer's previous-chain — the Iceberg
+    read-at-snapshot-id contract. Raises KeyError when the version is
+    not in the chain and FileNotFoundError when its component dirs were
+    already garbage-collected (GC keeps {current, previous}; older
+    snapshots are readable only until then).
+
+    Caveat: compaction and rescore publish NEW immutable versions, but
+    an incremental delta appends a partition group into the LIVE
+    version's component dirs — past versions are frozen, the live one
+    advances in place (append-snapshot granularity would need the delta
+    group list in the entry; Iceberg gets this for free)."""
+    entry: dict | None = current(index_dir)
+    while entry is not None and int(entry.get("version", 0)) != int(version):
+        prev = entry.get("previous")
+        entry = _normalized(prev) if prev is not None else None
+    if entry is None:
+        raise KeyError(
+            f"version {version} not in catalog chain "
+            f"{versions(index_dir)} of {index_dir}"
+        )
+    paths = {c: os.path.join(index_dir, entry[c]) for c in COMPONENTS}
+    gone = [
+        c for c in ("segments", "docs") if not parquet_exists(paths[c])
+    ]
+    if gone:
+        raise FileNotFoundError(
+            f"version {version} components {gone} were garbage-collected"
+        )
+    return entry, paths
+
+
 def path_of(index_dir: str, component: str) -> str:
     return os.path.join(index_dir, current(index_dir)[component])
 

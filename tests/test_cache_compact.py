@@ -151,3 +151,51 @@ def test_segment_read_partition_pruning(spark, tmp_path):
     assert "PartitionFilters" in plan
     assert "bucket" in plan
     assert "PushedFilters" in plan and "term" in plan
+
+
+def test_catalog_time_travel(spark, tmp_path):
+    # Iceberg-style read-at-snapshot: a searcher pinned to a past
+    # version serves the index exactly as published then, while the
+    # live pointer advances; GC'd snapshots fail loudly.
+    import pytest as _pytest
+
+    from myaku_spark.operators.search import IndexSearcher
+    from myaku_spark.plans import catalog
+    from myaku_spark.plans.build_index import build_index
+    from myaku_spark.plans.incremental import rescore_index
+    from myaku_spark.sources.pages import synth_pages_df
+
+    d = str(tmp_path / "tt")
+    build_index(
+        spark, synth_pages_df(spark, 30, partitions=2), d,
+        n_groups=1, now="2026-01-01 12:00:00",
+    )
+    term = (
+        spark.read.parquet(catalog.path_of(d, "term_stats"))
+        .orderBy(F.desc("df"), "term").limit(1).collect()[0].term
+    )
+    v0_hits = IndexSearcher(spark, d, mode="myaku").search([term], k=20)
+
+    rescore_index(spark, d, "2026-07-20 12:00:00")  # v1: new scores
+    assert catalog.versions(d) == [1, 0]
+    live = IndexSearcher(spark, d, mode="myaku").search([term], k=20)
+    pinned = IndexSearcher(spark, d, mode="myaku", version=0).search(
+        [term], k=20
+    )
+    assert pinned == v0_hits
+    assert {d_ for _, d_ in live} == {d_ for _, d_ in pinned}
+    assert live != pinned  # recency tiers moved every doc's score
+
+    with _pytest.raises(KeyError):
+        catalog.at_version(d, 7)
+
+    # Two more snapshots — 'now' jumps that cross the 365/1095-day
+    # recency tiers so every rescore touches docs and writes fresh
+    # versioned dirs. GC keeps {current, previous} → v1's dirs go
+    # (v0's legacy unversioned names are never GC'd by design).
+    out2 = rescore_index(spark, d, "2027-02-01 12:00:00")
+    out3 = rescore_index(spark, d, "2029-06-01 12:00:00")
+    assert out2["n_affected"] > 0 and out3["n_affected"] > 0
+    assert catalog.versions(d) == [3, 2, 1, 0]
+    with _pytest.raises(FileNotFoundError):
+        catalog.at_version(d, 1)
