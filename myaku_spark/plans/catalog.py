@@ -87,9 +87,13 @@ def at_version(index_dir: str, version: int) -> tuple[dict, dict]:
 
     Caveat: compaction and rescore publish NEW immutable versions, but
     an incremental delta appends a partition group into the LIVE
-    version's component dirs — past versions are frozen, the live one
-    advances in place (append-snapshot granularity would need the delta
-    group list in the entry; Iceberg gets this for free)."""
+    version's component dirs — past versions' segments/docs are frozen,
+    the live one advances in place. Two sharing notes: (a) a published
+    entry may carry an earlier version's tombstones/stats dirs FORWARD
+    by name, so a later incremental's tombstone append is visible to a
+    pinned read of such a version; (b) full append-snapshot granularity
+    would pin the delta-group list and version the tombstone file set
+    per publish — the part of this model Iceberg provides natively."""
     entry: dict | None = current(index_dir)
     while entry is not None and int(entry.get("version", 0)) != int(version):
         prev = entry.get("previous")
