@@ -232,9 +232,18 @@ class JaDictionary:
             surface_map, self.conj_map = word_layer_from_rows(
                 parse_ipadic_csv(paths)
             )
+            # extra_words OVERRIDE the parsed layer: the builtin path
+            # inserts word entries before function words (so an extra
+            # word's conjugated surface beats a function-word surface),
+            # and the flattened CSV can't replay that order — explicit
+            # override keeps the two word sources tokenizing alike.
+            # (A collision between an extra word and an existing word/
+            # entity row resolves to the extra word here, vs first-wins
+            # on the builtin path — callers adding surfaces the packaged
+            # layer already covers own that choice.)
             for base, pos, conj in extra_words or []:
                 for surface, pieces in _expand_conjugations(base, pos, conj):
-                    surface_map.setdefault(surface, pieces)
+                    surface_map[surface] = pieces
             self.word_source = paths
             if ipadic_csv_path is not None:
                 # Custom dictionary data participates in the version pin

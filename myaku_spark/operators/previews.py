@@ -407,6 +407,14 @@ class ArticlePreview:
         chars_from_start = _seglen(segs[:m_start])
         chars_to_end = _seglen(segs[m_end:])
         sample["start"] += chars_from_start
+        # Boundary guards the reference lacks (it indexes
+        # segs[m_start-1] / segs[m_end] unconditionally, which wraps to
+        # segs[-1] when the match section starts at segment 0 and
+        # IndexErrors when it ends at the last segment — both reproduced
+        # by fuzzing; inside a pandas UDF the IndexError is job-fatal).
+        # Deviation: out-of-range neighbors contribute nothing.
+        prev_text = segs[m_start - 1][1] if m_start > 0 else ""
+        next_text = segs[m_end][1] if m_end < len(segs) else ""
         if trimmed_len >= MAX_ACCEPTABLE_LEN:
             left_added = 0
         elif (
@@ -419,9 +427,9 @@ class ArticlePreview:
             # prepended length).
             trimmed = list(segs[:m_start]) + trimmed
             cur = _seglen(trimmed)
-            if cur < MAX_ACCEPTABLE_LEN:
+            if cur < MAX_ACCEPTABLE_LEN and next_text:
                 trimmed.append(
-                    [False, segs[m_end][1][: MAX_ACCEPTABLE_LEN - cur]]
+                    [False, next_text[: MAX_ACCEPTABLE_LEN - cur]]
                 )
             trimmed.append([False, TRIM_INDICATOR])
             left_added = len(trimmed[0][1])
@@ -433,25 +441,27 @@ class ArticlePreview:
             trimmed = trimmed + list(segs[m_end:])
             cur = _seglen(trimmed)
             left_added = 0
-            if cur < MAX_ACCEPTABLE_LEN:
-                piece = segs[m_start - 1][1][
-                    -1 * (MAX_ACCEPTABLE_LEN - cur) :
-                ]
+            if cur < MAX_ACCEPTABLE_LEN and prev_text:
+                piece = prev_text[-1 * (MAX_ACCEPTABLE_LEN - cur):]
                 trimmed.insert(0, [False, piece])
                 left_added = len(piece)
             trimmed.insert(0, [False, TRIM_INDICATOR])
         else:
             # left/right balance (:392-438). Quirk mirrored: the
             # reference indexes a single CHAR from the left neighbor
-            # (prev_text[-(rem//2 + rem%2)]), not a slice.
+            # (prev_text[-(rem//2 + rem%2)]), not a slice — clamped to
+            # the segment length (the raw index IndexErrors on short
+            # neighbors, 65/4000 fuzzed match layouts).
             remaining = MAX_ACCEPTABLE_LEN - trimmed_len
-            prev_text = segs[m_start - 1][1]
-            next_text = segs[m_end][1]
-            left_piece = prev_text[-1 * (remaining // 2 + remaining % 2)]
-            trimmed.insert(0, [False, left_piece])
+            n_left = min(remaining // 2 + remaining % 2, len(prev_text))
+            left_piece = prev_text[-n_left] if n_left > 0 else ""
+            if left_piece:
+                trimmed.insert(0, [False, left_piece])
             left_added = len(left_piece)
             trimmed.insert(0, [False, TRIM_INDICATOR])
-            trimmed.append([False, next_text[: remaining // 2]])
+            right_piece = next_text[: remaining // 2]
+            if right_piece:
+                trimmed.append([False, right_piece])
             trimmed.append([False, TRIM_INDICATOR])
         sample["start"] -= left_added
         sample["segments"] = trimmed
@@ -621,25 +631,27 @@ class ArticlePreview:
         self._force_expand_right(sample, pos)
 
 
-def _full_preview_udf(title: str = ""):
+def _full_preview_udf():
     """Lazily-built pandas UDF: per result row, run the FULL sample
     shaping (ArticlePreview: trim / expand / extra samples) and return
     the preview as a JSON string — the convert_sample_text_to_json
     payload (article_preview.py:104-119) with main + extra samples.
     One Arrow batch covers the ≤ k·pages result rows, so the work is
-    result-sized, never corpus-sized."""
+    result-sized, never corpus-sized. The per-row title gates the
+    reference's title-boundary expansion rules."""
     import json as _json
 
     from pyspark.sql.types import StringType
 
     @F.pandas_udf(StringType())
     def full_preview(
-        text: pd.Series, starts: pd.Series, lens: pd.Series
+        text: pd.Series, starts: pd.Series, lens: pd.Series,
+        titles: pd.Series,
     ) -> pd.Series:
-        def run(t, s, ln):
+        def run(t, s, ln, ttl):
             if t is None or s is None or len(s) == 0:
                 return None
-            p = ArticlePreview(t, list(zip(s, ln)), title=title)
+            p = ArticlePreview(t, list(zip(s, ln)), title=ttl or "")
             def pack(sample):
                 return {
                     "textStartPos": int(sample["start"]),
@@ -657,7 +669,10 @@ def _full_preview_udf(title: str = ""):
             )
 
         return pd.Series(
-            [run(t, s, ln) for t, s, ln in zip(text, starts, lens)]
+            [
+                run(t, s, ln, ttl)
+                for t, s, ln, ttl in zip(text, starts, lens, titles)
+            ]
         )
 
     return full_preview
@@ -669,16 +684,23 @@ def attach_full_previews(
     starts_col: str = "match_starts",
     lens_col: str = "match_lens",
     text_col: str = "text",
+    title_col: str | None = None,
 ) -> DataFrame:
     """K4 full preview at scale: results carrying ALL matched positions
     ⋈ texts → + preview_json = the complete trimmed/expanded sample
     payload (main + extra samples) the reference API serves. The UDF
     sees only result rows (≤ k·pages), the text join is the same
-    broadcast-sized hydration join as attach_ranked_previews."""
-    joined = hydrated.join(texts.select("doc_id", text_col), "doc_id", "left")
-    return joined.withColumn(
+    broadcast-sized hydration join as attach_ranked_previews.
+    ``title_col``: a texts column with the article title (the reference
+    full_text embeds it at the start — passing it enables the
+    title-boundary expansion rules); omitted → no title gating."""
+    cols = ["doc_id", text_col] + ([title_col] if title_col else [])
+    joined = hydrated.join(texts.select(*cols), "doc_id", "left")
+    title_c = F.col(title_col) if title_col else F.lit("")
+    out = joined.withColumn(
         "preview_json",
         _full_preview_udf()(
-            F.col(text_col), F.col(starts_col), F.col(lens_col)
+            F.col(text_col), F.col(starts_col), F.col(lens_col), title_c
         ),
     ).drop(text_col)
+    return out.drop(title_col) if title_col else out

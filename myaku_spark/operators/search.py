@@ -322,7 +322,14 @@ class IndexSearcher:
         if page_cache_dir is not None:
             from myaku_spark.operators.topk_cache import PageCacheTable
 
-            self.page_cache = PageCacheTable(page_cache_dir)
+            # The catalog version namespaces the shared cache: pages
+            # cached against an older snapshot miss by key after a
+            # reindex/compaction/rescore (then age out via TTL/gc)
+            # instead of serving deleted or re-scored docs as current.
+            self.page_cache = PageCacheTable(
+                page_cache_dir,
+                namespace=f"{mode}-v{int(self._catalog['version'])}",
+            )
         else:
             self.page_cache = UserPageCache()
         # Serializes WAND evaluation between the interactive path and

@@ -117,19 +117,25 @@ class PageCacheTable:
 
     TTL_SECONDS = 60 * 60 * 24 * 7  # _KEY_EXPIRE_SECONDS, cache.py:327
 
-    def __init__(self, path: str, clock=_time.time):
+    def __init__(self, path: str, clock=_time.time, namespace: str = ""):
+        """``namespace``: an index-identity string (the searcher passes
+        its catalog version) mixed into the query key, so pages cached
+        against one snapshot are never served as another's — a
+        reindex/compaction/rescore invalidates by key, with the stale
+        slots aging out via TTL/gc."""
         self._path = path
         self._clock = clock
+        self._namespace = namespace
         os.makedirs(path, exist_ok=True)
 
     def _slot_dir(self, user_id: str, direction: int) -> str:
         h = hashlib.sha1(user_id.encode("utf-8")).hexdigest()[:16]
         return os.path.join(self._path, f"{h}_{'f' if direction > 0 else 'b'}")
 
-    @staticmethod
-    def _query_key(terms, combine: str, page_num: int) -> str:
+    def _query_key(self, terms, combine: str, page_num: int) -> str:
         return json.dumps(
-            [list(terms), combine, int(page_num)], ensure_ascii=False
+            [self._namespace, list(terms), combine, int(page_num)],
+            ensure_ascii=False,
         )
 
     def set(self, user_id, direction, terms, combine, page_num, results):
@@ -139,16 +145,18 @@ class PageCacheTable:
         expiry = self._clock() + self.TTL_SECONDS
         key = self._query_key(terms, combine, page_num)
         n = len(results)
+        # Row 0 is a header (rank=0, null doc) so an EMPTY page is
+        # still a servable slot (key+expiry survive with no results).
         table = pa.table(
             {
-                "expiry": pa.array([float(expiry)] * n, pa.float64()),
-                "query_key": pa.array([key] * n, pa.string()),
-                "rank": pa.array(range(1, n + 1), pa.int32()),
+                "expiry": pa.array([float(expiry)] * (n + 1), pa.float64()),
+                "query_key": pa.array([key] * (n + 1), pa.string()),
+                "rank": pa.array(range(0, n + 1), pa.int32()),
                 "doc_id": pa.array(
-                    [int(d) for _, d in results], pa.int64()
+                    [None] + [int(d) for _, d in results], pa.int64()
                 ),
                 "score": pa.array(
-                    [float(s) for s, _ in results], pa.float64()
+                    [None] + [float(s) for s, _ in results], pa.float64()
                 ),
             }
         )
@@ -178,7 +186,10 @@ class PageCacheTable:
             if first["query_key"][0] != key:
                 continue
             d = t.to_pydict()
-            order = sorted(range(t.num_rows), key=lambda i: d["rank"][i])
+            order = sorted(
+                (i for i in range(t.num_rows) if d["rank"][i] > 0),
+                key=lambda i: d["rank"][i],
+            )
             return [(d["score"][i], d["doc_id"][i]) for i in order]
         return None
 

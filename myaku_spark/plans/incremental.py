@@ -242,11 +242,15 @@ def _block_patches(segs: DataFrame, affected: DataFrame) -> DataFrame:
     max_doc] plus their score deltas. The point-in-range join is a
     binned equi-join (multi-resolution binning, the classic interval-
     join shape): block-side replication ≤ _PATCH_MAX_BINS rows, probe-
-    side replication = one row per level — so a daily rescore at 10^12
-    docs shuffles O(levels · |affected|) + O(bins · |block meta|) rows
-    and the delta set never touches the driver. A wide rare-term block
-    meets only the probes of its own coarse bins, and AQE's skew split
-    handles a genuinely hot bin."""
+    side replication = one row per level, and the delta set never
+    touches the driver. Join OUTPUT is Σ_blocks |affected ∩ [min_doc,
+    max_doc]| — the information each block minimally needs (the kernel
+    re-checks true membership) — which stays bounded because doc ids
+    are DENSE per group (ids.py; delta groups offset by group·2^40) and
+    segments never span groups: a block's range covers at most its own
+    group's docs, so even a tail term's single block meets only that
+    group's affected docs, never the global delta set. AQE's skew
+    split handles a genuinely hot bin."""
     widths = _PATCH_BIN_WIDTHS
     lvl = None
     for l, w in enumerate(widths):

@@ -75,8 +75,15 @@ def main() -> None:
         for i, ln in enumerate(lines)
         if not ln.startswith("phrase:")
     ]
+    from myaku_spark.functions.widthnorm import normalize_char_width
+
+    # Phrase terms get the same P6 width normalization batch_search
+    # applies to term queries (index terms are width-normalized).
     phrase_qs = [
-        (f"p{i}", ln[len("phrase:"):].split())
+        (
+            f"p{i}",
+            [normalize_char_width(t) for t in ln[len("phrase:"):].split()],
+        )
         for i, ln in enumerate(lines)
         if ln.startswith("phrase:")
     ]

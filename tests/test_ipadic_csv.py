@@ -234,3 +234,14 @@ def test_sidecar_has_conjugation_columns(spark):
     got = rows[("曇る", 2)]
     assert (got.conj_type, got.conj_form) == ("五段・ラ行", "連用タ接続")
     assert rows[("空", 0)].conj_type is None
+
+
+def test_extra_words_precedence_matches_builtin():
+    # Review r4: an extra word's conjugated surface must beat a
+    # function-word surface on BOTH word sources (builtin inserts word
+    # entries before function words; the CSV path overrides).
+    extra = [("ある", "動詞-自立", "五段・ラ行")]
+    d_csv = JaDictionary(extra_words=extra)
+    d_builtin = JaDictionary(use_builtin_words=True, extra_words=extra)
+    assert d_csv.surface_map["あれ"] == (("あれ", "ある", "動詞-自立"),)
+    assert d_csv.surface_map["あれ"] == d_builtin.surface_map["あれ"]

@@ -233,3 +233,19 @@ def test_page_cache_shared_across_searchers(spark, head_idx, tmp_path):
         (d, sc) for sc, d in fresh.search(["head"], k=6, combine="or")[3:6]
     ]
     assert sorted(got) == sorted(expect)
+
+
+def test_page_cache_table_empty_page_and_namespace(tmp_path):
+    from myaku_spark.operators.topk_cache import PageCacheTable
+
+    base = str(tmp_path / "pcns")
+    c1 = PageCacheTable(base, namespace="v0")
+    # Empty pages are servable slots (past-the-last-page precompute).
+    c1.set("u1", 1, ["猫"], "and", 9, [])
+    assert c1.get("u1", ["猫"], "and", 9) == []
+    # A searcher on another catalog version misses by key — stale pages
+    # are never served across snapshots.
+    c2 = PageCacheTable(base, namespace="v1")
+    c1.set("u1", 1, ["猫"], "and", 2, [(9.0, 7)])
+    assert c1.get("u1", ["猫"], "and", 2) == [(9.0, 7)]
+    assert c2.get("u1", ["猫"], "and", 2) is None
