@@ -216,17 +216,21 @@ def q_rrf_fusion(spark, sf_dir):
     scored = bm25_ops.attach_bm25(
         p, post_ops.term_stats(p), ds, post_ops.corpus_stats(ds)
     )
-    lex = (
+    # TakeOrderedAndProject first (per-task top-N merge), THEN the rank
+    # window over the ≤ N surviving rows — never a single-partition
+    # window over a head term's full posting list.
+    lex_top = (
         scored.filter(F.col("term") == RRF_TERM)
-        .withColumn(
-            "lex_rank",
-            F.row_number().over(
-                Window.orderBy(F.desc("bm25"), F.desc("doc_id"))
-            ),
-        )
-        .filter(F.col("lex_rank") <= RRF_TOPN)
-        .select("doc_id", F.col("lex_rank").cast("int").alias("lex_rank"))
+        .select("doc_id", "bm25")
+        .orderBy(F.desc("bm25"), F.desc("doc_id"))
+        .limit(RRF_TOPN)
     )
+    lex = lex_top.withColumn(
+        "lex_rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("bm25"), F.desc("doc_id"))
+        ),
+    ).select("doc_id", F.col("lex_rank").cast("int").alias("lex_rank"))
     emb = _emb(spark, sf_dir)
     qv = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_emb")
@@ -244,20 +248,20 @@ def q_rrf_fusion(spark, sf_dir):
         "sqrt(aggregate(q_emb, 0.0d, (acc, v) ->"
         " acc + cast(v as double) * cast(v as double)))"
     )
-    vec = (
+    vec_top = (
         cand.crossJoin(F.broadcast(qv))
         .select(
             F.col("vec_id").alias("doc_id"), (dot / (na * nb)).alias("cos")
         )
-        .withColumn(
-            "vec_rank",
-            F.row_number().over(
-                Window.orderBy(F.desc("cos"), F.desc("doc_id"))
-            ),
-        )
-        .filter(F.col("vec_rank") <= RRF_TOPN)
-        .select("doc_id", F.col("vec_rank").cast("int").alias("vec_rank"))
+        .orderBy(F.desc("cos"), F.desc("doc_id"))
+        .limit(RRF_TOPN)
     )
+    vec = vec_top.withColumn(
+        "vec_rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("cos"), F.desc("doc_id"))
+        ),
+    ).select("doc_id", F.col("vec_rank").cast("int").alias("vec_rank"))
     rrf = F.coalesce(
         F.lit(1.0) / (F.lit(RRF_C) + F.col("lex_rank")), F.lit(0.0)
     ) + F.coalesce(
