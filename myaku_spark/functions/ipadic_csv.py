@@ -27,11 +27,13 @@ context-dependent mechanisms are resolved at compile time):
   supply the context-dependent readings (だから / けれども) that the
   lattice would pick from connection costs;
 - adjective stem rows with 活用形 = ガル接続 never stand alone in a
-  lattice path (their right-context id only connects to 接尾 suffixes),
-  so they are compiled into composite surfaces stem+suffix with the
-  two-piece token stream (e.g. 美しさ → 美し/美しい + さ/さ) instead of
-  becoming standalone keys — and 名詞-接尾 suffix rows likewise only
-  appear through those composites;
+  lattice path (their right-context id only connects to the 特殊
+  nominalizing suffixes さ/み), so they are compiled into composite
+  surfaces stem+suffix with the two-piece token stream (e.g. 美しさ →
+  美し/美しい + さ/さ) instead of becoming standalone keys — and
+  名詞-接尾-特殊 suffix rows likewise only appear through those
+  composites (generic 名詞-接尾 rows stand alone, see
+  _SUFFIX_POS_PREFIX);
 - blank or '*' base forms fall back to the surface — the reference's
   known-problem fix for proper nouns (japanese_analysis.py:1049-1056).
 """
@@ -49,7 +51,18 @@ DEFAULT_FRAGMENT = os.path.join(
 
 _N_FIELDS = 13
 _GARU_CONJ_FORM = "ガル接続"
-_SUFFIX_POS_PREFIX = ("名詞", "接尾")
+# The bound-suffix class composited onto ガル接続 stems. In the ipadic
+# connection matrix a ガル接続 stem's right-context only binds the
+# nominalizing 特殊 suffixes (さ/み) and the がる verb suffix — NOT the
+# whole 名詞-接尾 family (さん, 氏, 的, …, thousands of rows in a real
+# dictionary, which stand alone after any noun). Compositing the full
+# family would build |stems| x |名詞-接尾| surfaces — millions of
+# surface_map keys and regex alternatives on a real ipadic/NEologd drop-
+# in. Generic 名詞-接尾 rows compile as standalone surfaces instead.
+_SUFFIX_POS_PREFIX = ("名詞", "接尾", "特殊")
+# Belt-and-braces cap: never materialize an absurd composite set even if
+# a dictionary ships a huge 特殊 class; cheapest (cost, order) pairs win.
+_MAX_COMPOSITES = 2_000_000
 
 
 @dataclass(frozen=True)
@@ -77,11 +90,32 @@ def _none_star(v: str) -> str | None:
     return None if v in ("*", "") else v
 
 
+def default_fragment_bytes() -> bytes:
+    """Packaged fragment bytes, zip-safe: executors importing
+    myaku_spark from a ``--py-files`` zip (scripts/run_search.py) have a
+    ``__file__`` that points INSIDE the archive, where open() fails —
+    importlib.resources reads through the zip importer. Falls back to
+    the filesystem path for source checkouts on odd loaders."""
+    try:
+        from importlib import resources
+
+        return (
+            resources.files("myaku_spark.functions")
+            .joinpath("ipadic_fragment.csv")
+            .read_bytes()
+        )
+    except Exception:
+        return open(DEFAULT_FRAGMENT, "rb").read()
+
+
 def parse_ipadic_csv(
     paths: str | list[str], encoding: str | None = None
 ) -> list[IpadicRow]:
     """Parse one or more ipadic-format CSV files into rows, file order
     preserved (order is the deterministic tie-break for equal costs).
+
+    Each path may also be a ``(name, bytes)`` tuple of already-read file
+    content (the zip-safe packaged-fragment path).
 
     Encoding: tries UTF-8 first (NEologd releases), then EUC-JP (the
     original ipadic distribution) unless ``encoding`` pins one.
@@ -89,11 +123,14 @@ def parse_ipadic_csv(
     ValueError with the offending file/line, like the reference's
     ResourceLoadError paths.
     """
-    if isinstance(paths, str):
+    if isinstance(paths, (str, tuple)):
         paths = [paths]
     rows: list[IpadicRow] = []
     for path in paths:
-        raw = open(path, "rb").read()
+        if isinstance(path, tuple):
+            path, raw = path
+        else:
+            raw = open(path, "rb").read()
         text = None
         for enc in ([encoding] if encoding else ["utf-8", "euc_jp"]):
             try:
@@ -188,6 +225,12 @@ def word_layer_from_rows(rows: list[IpadicRow]):
         surface_map[row.surface] = ((row.surface, row.base, row.pos_joined),)
 
     # Composite stem+suffix surfaces; min-(cost,order) per composite too.
+    # Bounded: |stems| x |特殊 suffixes| (さ/み-class only, see
+    # _SUFFIX_POS_PREFIX) with a hard cap — cheapest pairs win if a
+    # dictionary somehow ships a giant 特殊 class.
+    if stems and suffixes and len(stems) * len(suffixes) > _MAX_COMPOSITES:
+        per_stem = max(1, _MAX_COMPOSITES // len(stems))
+        suffixes = sorted(suffixes, key=lambda kr: kr[0])[:per_stem]
     comp_best: dict[str, tuple[tuple, tuple]] = {}
     for (sk, stem) in stems:
         for (xk, suf) in suffixes:

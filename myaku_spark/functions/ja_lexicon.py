@@ -223,12 +223,20 @@ class JaDictionary:
             self.word_source = "builtin-tables"
         else:
             from myaku_spark.functions.ipadic_csv import (
-                DEFAULT_FRAGMENT,
+                default_fragment_bytes,
                 parse_ipadic_csv,
                 word_layer_from_rows,
             )
 
-            paths = ipadic_csv_path or DEFAULT_FRAGMENT
+            if ipadic_csv_path is None:
+                # Zip-safe: the packaged fragment is read through the
+                # import machinery, not a filesystem path — executors
+                # importing from a --py-files zip construct the default
+                # dictionary inside mapInPandas and a path relative to
+                # __file__ would point into the archive.
+                paths = ("ipadic_fragment.csv", default_fragment_bytes())
+            else:
+                paths = ipadic_csv_path
             surface_map, self.conj_map = word_layer_from_rows(
                 parse_ipadic_csv(paths)
             )
@@ -244,7 +252,11 @@ class JaDictionary:
             for base, pos, conj in extra_words or []:
                 for surface, pieces in _expand_conjugations(base, pos, conj):
                     surface_map[surface] = pieces
-            self.word_source = paths
+            self.word_source = (
+                "packaged:ipadic_fragment.csv"
+                if ipadic_csv_path is None
+                else paths
+            )
             if ipadic_csv_path is not None:
                 # Custom dictionary data participates in the version pin
                 # (the reference records dictionary versions in its index
@@ -274,13 +286,17 @@ class JaDictionary:
         # circularity as the reference, where JMdict construction
         # MeCab-parses each entry text form, japanese_analysis.py:766-771).
         from myaku_spark.functions.jmdict_xml import (
-            DEFAULT_FRAGMENT,
+            default_fragment_text,
             parse_jmdict_xml,
         )
         from myaku_spark.functions.tokenize import tokenize_ja_block
 
         self.jmdict = JMdictSubset()
-        parsed = parse_jmdict_xml(jmdict_xml_path or DEFAULT_FRAGMENT)
+        parsed = parse_jmdict_xml(
+            jmdict_xml_path
+            if jmdict_xml_path is not None
+            else default_fragment_text()
+        )
         pairs = [(e.entry_id, e.text_form) for e in parsed] + [
             (None, s) for s in sorted(extra_jmdict_surfaces or ())
         ]

@@ -36,6 +36,23 @@ DEFAULT_FRAGMENT = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "jmdict_fragment.xml"
 )
 
+
+def default_fragment_text() -> str:
+    """Packaged fragment XML, zip-safe (see
+    ipadic_csv.default_fragment_bytes): read through the import
+    machinery so executors importing myaku_spark from a --py-files zip
+    can build the default dictionary; filesystem path as fallback."""
+    try:
+        from importlib import resources
+
+        return (
+            resources.files("myaku_spark.functions")
+            .joinpath("jmdict_fragment.xml")
+            .read_text(encoding="utf-8")
+        )
+    except Exception:
+        return open(DEFAULT_FRAGMENT, encoding="utf-8").read()
+
 _REPR_TAGS = {"k_ele", "r_ele"}
 _TEXT_FORM_TAG = {"k_ele": "keb", "r_ele": "reb"}
 _REPR_OPTIONAL = {

@@ -167,6 +167,7 @@ class PageCacheTable:
         os.replace(tmp, os.path.join(slot, "slot.parquet"))
 
     def get(self, user_id, terms, combine, page_num):
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         key = self._query_key(terms, combine, page_num)
@@ -176,8 +177,13 @@ class PageCacheTable:
                 continue
             try:
                 t = pq.read_table(f)
-            except OSError:
-                continue  # concurrent replace; treat as miss
+            except (OSError, pa.ArrowInvalid):
+                # Concurrent replace, or a truncated/corrupt slot left by
+                # a crash mid-write on a non-atomic filesystem (NFS /
+                # object-store mounts): a cache must never propagate its
+                # own corruption into the serving path — treat as miss
+                # (gc() reclaims the slot).
+                continue
             if t.num_rows == 0:
                 continue
             first = t.slice(0, 1).to_pydict()
@@ -194,9 +200,12 @@ class PageCacheTable:
         return None
 
     def gc(self) -> int:
-        """Drop expired slots; returns the number removed."""
+        """Drop expired/corrupt slots and stale .tmp-* files left by a
+        process killed between write_table and os.replace; returns the
+        number of slots removed."""
         import shutil
 
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         now = self._clock()
@@ -209,9 +218,23 @@ class PageCacheTable:
             try:
                 t = pq.read_table(f, columns=["expiry"])
                 expired = t.num_rows == 0 or t.column("expiry")[0].as_py() < now
-            except OSError:
-                expired = not os.path.exists(f)
+            except (OSError, pa.ArrowInvalid):
+                # Missing OR unreadable slot file: either way the slot
+                # can never serve a hit again — reclaim it.
+                expired = True
             if expired:
                 shutil.rmtree(slot, ignore_errors=True)
                 removed += 1
+                continue
+            # Orphaned temp files (crash between write and rename) age
+            # out on the same TTL as the slots they were meant to become.
+            for tmp in os.listdir(slot):
+                if not tmp.startswith(".tmp-"):
+                    continue
+                p = os.path.join(slot, tmp)
+                try:
+                    if now - os.path.getmtime(p) > self.TTL_SECONDS:
+                        os.unlink(p)
+                except OSError:
+                    pass
         return removed

@@ -245,3 +245,102 @@ def test_extra_words_precedence_matches_builtin():
     d_builtin = JaDictionary(use_builtin_words=True, extra_words=extra)
     assert d_csv.surface_map["あれ"] == (("あれ", "ある", "動詞-自立"),)
     assert d_csv.surface_map["あれ"] == d_builtin.surface_map["あれ"]
+
+
+def test_generic_meishi_setsubi_stands_alone(tmp_path):
+    # ADVICE r4: only the 特殊 nominalizing class (さ/み) binds to
+    # ガル接続 stems in the ipadic connection matrix. Generic 名詞-接尾
+    # rows (さん, 氏, 的 — thousands in a real dictionary) must compile
+    # as STANDALONE surfaces, not cross-product composites, or a real
+    # NEologd drop-in materializes millions of surface_map keys.
+    p = write_csv(tmp_path, [
+        "美し,19,19,5000,形容詞,自立,*,*,形容詞・アウオ段,ガル接続,美しい,ウツクシ,ウツクシ",
+        "さ,1314,1314,4000,名詞,接尾,特殊,*,*,*,さ,サ,サ",
+        "さん,1303,1303,4500,名詞,接尾,人名,*,*,*,さん,サン,サン",
+        "的,1305,1305,4600,名詞,接尾,形容動詞語幹,*,*,*,的,テキ,テキ",
+    ])
+    smap, _ = word_layer_from_rows(parse_ipadic_csv(p))
+    assert smap["さん"] == (("さん", "さん", "名詞-接尾-人名"),)
+    assert smap["的"] == (("的", "的", "名詞-接尾-形容動詞語幹"),)
+    assert "美しさん" not in smap and "美し的" not in smap
+    assert smap["美しさ"] == (
+        ("美し", "美しい", "形容詞-自立"),
+        ("さ", "さ", "名詞-接尾-特殊"),
+    )
+
+
+def test_composite_count_bounded(tmp_path):
+    # Cross-product guard: |stems| x |特殊 suffixes| composites, never
+    # |stems| x |名詞-接尾 family|.
+    lines = []
+    for i in range(50):
+        lines.append(
+            f"堅{chr(0x3042 + i)},19,19,5000,形容詞,自立,*,*,"
+            f"形容詞・アウオ段,ガル接続,堅{chr(0x3042 + i)}い,カタ,カタ"
+        )
+    lines.append("さ,1314,1314,4000,名詞,接尾,特殊,*,*,*,さ,サ,サ")
+    lines.append("み,1314,1314,4100,名詞,接尾,特殊,*,*,*,み,ミ,ミ")
+    for i in range(40):
+        lines.append(
+            f"屋{chr(0x30a2 + i)},1303,1303,4500,名詞,接尾,一般,*,*,*,"
+            f"屋{chr(0x30a2 + i)},ヤ,ヤ"
+        )
+    smap, _ = word_layer_from_rows(parse_ipadic_csv(
+        write_csv(tmp_path, lines)
+    ))
+    n_composites = sum(1 for pieces in smap.values() if len(pieces) == 2)
+    assert n_composites == 50 * 2  # stems x {さ, み} only
+
+
+def test_parse_accepts_bytes_tuples():
+    # The zip-safe packaged-fragment path hands (name, bytes) instead of
+    # a filesystem path.
+    from myaku_spark.functions.ipadic_csv import default_fragment_bytes
+
+    rows_path = parse_ipadic_csv(DEFAULT_FRAGMENT)
+    rows_bytes = parse_ipadic_csv(
+        ("ipadic_fragment.csv", default_fragment_bytes())
+    )
+    assert rows_bytes == rows_path
+
+
+def test_default_dictionary_zip_safe(tmp_path):
+    # ADVICE r4 (medium): under --py-files deployment __file__ points
+    # inside the zip and open() raises — the default word/JMdict layers
+    # must load through the import machinery. Import myaku_spark ONLY
+    # from a zip in a subprocess and build the default dictionary.
+    import os
+    import subprocess
+    import sys
+    import zipfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg = os.path.join(repo, "myaku_spark")
+    zpath = str(tmp_path / "myaku_spark_zipsafe.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith((".py", ".csv", ".xml")):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, repo))
+    code = (
+        "import sys; sys.path.insert(0, sys.argv[1]);\n"
+        "import myaku_spark.functions.ja_lexicon as L\n"
+        "assert 'zipsafe.zip' in L.__file__, L.__file__\n"
+        "d = L.JaDictionary()\n"
+        "assert d.surface_map['美しさ'][0][1] == '美しい'\n"
+        "assert d.jmdict.entry_map, 'jmdict layer empty'\n"
+        "print('OK')\n"
+    )
+    env = dict(os.environ)
+    # Drop the repo checkout from any inherited import path so the zip
+    # is the only myaku_spark source.
+    env["PYTHONPATH"] = ""
+    out = subprocess.run(
+        [sys.executable, "-c", code, zpath],
+        capture_output=True, text=True, cwd=str(tmp_path), env=env,
+    )
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip() == "OK"

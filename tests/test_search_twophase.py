@@ -249,3 +249,44 @@ def test_page_cache_table_empty_page_and_namespace(tmp_path):
     c1.set("u1", 1, ["猫"], "and", 2, [(9.0, 7)])
     assert c1.get("u1", ["猫"], "and", 2) == [(9.0, 7)]
     assert c2.get("u1", ["猫"], "and", 2) is None
+
+
+def test_page_cache_corrupt_slot_is_miss_and_gc_reclaims(tmp_path):
+    # ADVICE r4: a truncated/corrupt slot.parquet (crash mid-write on a
+    # non-atomic filesystem) raises ArrowInvalid from pyarrow — the
+    # serving path must see a MISS, and gc() must reclaim the slot.
+    import os
+
+    from myaku_spark.operators.topk_cache import PageCacheTable
+
+    t = [0.0]
+    c = PageCacheTable(str(tmp_path / "pc"), clock=lambda: t[0])
+    c.set("u1", 1, ["猫"], "and", 2, [(9.0, 7)])
+    slot_dir = c._slot_dir("u1", 1)
+    with open(os.path.join(slot_dir, "slot.parquet"), "wb") as f:
+        f.write(b"PAR1 this is not a parquet footer")
+    assert c.get("u1", ["猫"], "and", 2) is None  # miss, not a raise
+    assert c.gc() == 1
+    assert not os.path.isdir(slot_dir)
+
+
+def test_page_cache_gc_unlinks_stale_tmp_files(tmp_path):
+    import os
+
+    from myaku_spark.operators.topk_cache import PageCacheTable
+
+    t = [0.0]
+    c = PageCacheTable(str(tmp_path / "pc"), clock=lambda: t[0])
+    c.set("u1", 1, ["猫"], "and", 2, [(9.0, 7)])
+    slot_dir = c._slot_dir("u1", 1)
+    orphan = os.path.join(slot_dir, ".tmp-dead-process")
+    with open(orphan, "wb") as f:
+        f.write(b"partial write")
+    old = 1.0
+    os.utime(orphan, (old, old))
+    # Slot itself is fresh (expiry = clock+TTL) but must refresh the
+    # clock so "now - mtime > TTL" holds for the orphan.
+    t[0] = PageCacheTable.TTL_SECONDS + 10.0
+    c.set("u1", 1, ["猫"], "and", 2, [(9.0, 7)])  # re-arm expiry
+    assert c.gc() == 0  # live slot kept...
+    assert not os.path.exists(orphan)  # ...orphan temp reclaimed
