@@ -87,6 +87,18 @@ def _make_runner(k: int, combine: str, mode: str, deleted_bc, bm25_stats):
         if combine == "and" and present < n_terms:
             return empty
         deleted = deleted_bc.value if deleted_bc is not None else None
+        if "del_ids" in pdf.columns:
+            # df-mode tombstones (delete vector beyond driver size):
+            # per-block deleted ids arrived IN the rows via the binned
+            # interval join (tombstone_block_patches) — union this
+            # query's slices into the sorted array the cursors expect.
+            arrs = [
+                np.asarray(a, dtype=np.int64)
+                for a in pdf["del_ids"]
+                if isinstance(a, (list, np.ndarray)) and len(a)
+            ]
+            if arrs:
+                deleted = np.unique(np.concatenate(arrs))
         if mode == "myaku":
             scorer_for_term = lambda term: MyakuScorer()  # noqa: E731
         else:
@@ -222,7 +234,7 @@ def batch_search(
     enough that the avoided blob shuffle beats the prefilter's fixed
     stage cost."""
     from myaku_spark.plans import catalog
-    from myaku_spark.plans.incremental import load_tombstones
+    from myaku_spark.plans.incremental import resolve_tombstones
 
     _, paths = catalog.resolve(index_dir)
     if prefilter_and == "auto":
@@ -251,11 +263,34 @@ def batch_search(
         spark, paths, qterms, terms, combine, prefilter_and
     )
 
-    deleted = load_tombstones(spark, index_dir, path=paths["tombstones"])
+    tmode, tpayload = resolve_tombstones(
+        spark, index_dir, path=paths["tombstones"]
+    )
     deleted_bc = None
-    if deleted:
-        arr = np.sort(np.fromiter(deleted, dtype=np.int64, count=len(deleted)))
-        deleted_bc = spark.sparkContext.broadcast(arr)
+    if tmode == "array":
+        deleted_bc = spark.sparkContext.broadcast(tpayload)
+    elif tmode == "df":
+        # Distributed delete-vector application: per-block deleted-id
+        # arrays ride the joined rows (binned interval join keyed by
+        # block), so the WAND kernels see exactly the deletes their
+        # blocks can contain — the vector itself never leaves the
+        # executors.
+        from myaku_spark.functions.xxh import term_bucket
+        from myaku_spark.operators.segments import N_BUCKETS
+        from myaku_spark.plans.incremental import tombstone_block_patches
+
+        buckets = sorted({term_bucket(t, N_BUCKETS) for t in terms})
+        seg_meta = (
+            spark.read.parquet(paths["segments"])
+            .filter(
+                F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+            )
+            .select(
+                "group", "bucket", "term", "block_id", "min_doc", "max_doc"
+            )
+        )
+        patches = tombstone_block_patches(seg_meta, tpayload).drop("bucket")
+        joined = joined.join(patches, ["group", "term", "block_id"], "left")
     bm25_stats = None
     if mode == "bm25":
         r = spark.read.parquet(paths["corpus_stats"]).collect()[0]

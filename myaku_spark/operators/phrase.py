@@ -376,6 +376,7 @@ def phrase_search(
     ``prune`` (index_dir path only) applies the rarest-term block-range
     prune before decode; results are provably unchanged (tested)."""
     deleted_bc = None
+    tombs_df = None
     if isinstance(source, DataFrame):
         segments = source.filter(F.col("term").isin(list(terms)))
         if prune:
@@ -383,19 +384,24 @@ def phrase_search(
     else:
         from myaku_spark.operators.segments import read_term_segments
         from myaku_spark.plans import catalog
-        from myaku_spark.plans.incremental import load_tombstones
+        from myaku_spark.plans.incremental import resolve_tombstones
 
         _, paths = catalog.resolve(source)
         segments = read_term_segments(spark, paths["segments"], list(terms))
         if prune:
             segments = _prune_blocks_for_queries(segments, [("q", list(terms))])
-        deleted = load_tombstones(spark, source, path=paths["tombstones"])
-        if deleted:
-            arr = np.sort(
-                np.fromiter(deleted, dtype=np.int64, count=len(deleted))
-            )
-            deleted_bc = spark.sparkContext.broadcast(arr)
+        tmode, tpayload = resolve_tombstones(
+            spark, source, path=paths["tombstones"]
+        )
+        if tmode == "array":
+            deleted_bc = spark.sparkContext.broadcast(tpayload)
+        elif tmode == "df":
+            tombs_df = tpayload
     postings = decode_postings(segments, deleted=deleted_bc)
+    if tombs_df is not None:
+        # Delete vector too big for the driver: apply it as a
+        # distributed anti-join on the decoded postings instead.
+        postings = postings.join(tombs_df, "doc_id", "left_anti")
     return phrase_match(postings, terms, gap=gap, slop=slop).orderBy(
         F.desc("phrase_tf"), "doc_id"
     ).limit(k)
@@ -603,26 +609,30 @@ def batch_phrase_search(
         return spark.createDataFrame([], out_schema)
     all_terms = sorted({t for _, terms in queries for t in terms})
     deleted_bc = None
+    tombs_df = None
     if isinstance(source, DataFrame):
         segments = source.filter(F.col("term").isin(all_terms))
     else:
         from myaku_spark.operators.segments import read_term_segments
         from myaku_spark.plans import catalog
-        from myaku_spark.plans.incremental import load_tombstones
+        from myaku_spark.plans.incremental import resolve_tombstones
 
         _, paths = catalog.resolve(source)
         segments = read_term_segments(spark, paths["segments"], all_terms)
-        deleted = load_tombstones(spark, source, path=paths["tombstones"])
-        if deleted:
-            arr = np.sort(
-                np.fromiter(deleted, dtype=np.int64, count=len(deleted))
-            )
-            deleted_bc = spark.sparkContext.broadcast(arr)
+        tmode, tpayload = resolve_tombstones(
+            spark, source, path=paths["tombstones"]
+        )
+        if tmode == "array":
+            deleted_bc = spark.sparkContext.broadcast(tpayload)
+        elif tmode == "df":
+            tombs_df = tpayload
     if prune:
         segments = _prune_blocks_for_queries(
             segments, [(str(q), list(t)) for q, t in queries]
         )
     postings = decode_postings(segments, deleted=deleted_bc)
+    if tombs_df is not None:
+        postings = postings.join(tombs_df, "doc_id", "left_anti")
     qdf = spark.createDataFrame(
         [(str(qid), [str(t) for t in terms]) for qid, terms in queries],
         "query_id string, terms array<string>",

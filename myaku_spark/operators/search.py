@@ -75,6 +75,8 @@ class SegmentBlobStore:
         max_terms: int = 256,
         max_blob_bytes: int = 1 << 28,
         eager_postings: int = 200_000,
+        tombstones_df=None,
+        tombstone_view=None,
     ):
         self.spark = spark
         self.seg_path = seg_path
@@ -86,6 +88,13 @@ class SegmentBlobStore:
         # instead of one per forward window); head terms above it stay
         # lazy so driver bytes remain bounded by what WAND opens.
         self.eager_postings = eager_postings
+        # df-mode tombstones (delete vector beyond driver size): every
+        # fetch window semi-joins its decoded doc ids against this
+        # DataFrame and merges the hits into the TombstoneView the
+        # cursors consult — driver-side delete bytes are bounded by
+        # opened postings, never the vector (r4 verdict #2).
+        self.tombstones_df = tombstones_df
+        self.tombstone_view = tombstone_view
         self.meta: OrderedDict[str, list] = OrderedDict()
         self.blobs: OrderedDict[tuple, bytes] = OrderedDict()
         self.cached_blob_bytes = 0
@@ -160,8 +169,46 @@ class SegmentBlobStore:
             .collect()
         )
         self.fetch_jobs += 1
+        fresh = []
         for r in rows:
-            self._store_blob((r.term, r.group, r.block_id), bytes(r.blob))
+            key = (r.term, r.group, r.block_id)
+            if key not in self.blobs:
+                fresh.append(bytes(r.blob))
+            self._store_blob(key, bytes(r.blob))
+        self._resolve_deleted(fresh)
+
+    def _resolve_deleted(self, new_blobs: list[bytes]) -> None:
+        """df-mode tombstone lookup for a fetch window: decode the new
+        blobs' doc ids (driver-bounded — these blobs just shipped) and
+        ask the delete-vector DataFrame which of them are deleted via a
+        broadcast semi-join. One small Spark job per fetch window; the
+        result is at most |opened postings| ids."""
+        if self.tombstones_df is None or not new_blobs:
+            return
+        import numpy as np
+        import pandas as pd
+
+        from myaku_spark.operators.codec import decode_block
+
+        ids = np.unique(
+            np.concatenate(
+                [
+                    decode_block(b)["doc_ids"].astype(np.int64)
+                    for b in new_blobs
+                ]
+            )
+        )
+        ids_df = self.spark.createDataFrame(pd.DataFrame({"doc_id": ids}))
+        hits = (
+            self.tombstones_df.join(F.broadcast(ids_df), "doc_id", "leftsemi")
+            .collect()
+        )
+        if hits and self.tombstone_view is not None:
+            self.tombstone_view.add(
+                np.fromiter(
+                    (r.doc_id for r in hits), dtype=np.int64, count=len(hits)
+                )
+            )
 
     def _store_blob(self, key: tuple, b: bytes) -> None:
         if key in self.blobs:
@@ -203,8 +250,13 @@ class SegmentBlobStore:
             .collect()
         )
         self.fetch_jobs += 1
+        fresh = []
         for r in rows:
-            self._store_blob((term, r.group, r.block_id), bytes(r.blob))
+            k = (term, r.group, r.block_id)
+            if k not in self.blobs:
+                fresh.append(bytes(r.blob))
+            self._store_blob(k, bytes(r.blob))
+        self._resolve_deleted(fresh)
         if key not in self.blobs:
             raise KeyError(f"segment blob not found: {key}")
         return self.blobs[key]
@@ -299,8 +351,9 @@ class IndexSearcher:
         # entry, so a compaction publishing mid-construction or mid-query
         # can never mix versions for this searcher (old dirs stay until
         # GC).
+        from myaku_spark.operators.wand import TombstoneView
         from myaku_spark.plans import catalog
-        from myaku_spark.plans.incremental import load_tombstones
+        from myaku_spark.plans.incremental import resolve_tombstones
 
         if version is None:
             self._catalog, self._paths = catalog.resolve(index_dir)
@@ -308,17 +361,30 @@ class IndexSearcher:
             self._catalog, self._paths = catalog.at_version(
                 index_dir, version
             )
-        deleted = load_tombstones(spark, index_dir, path=self._paths["tombstones"])
-        # Sorted array, not a set: block decode applies tombstones with
-        # one vectorized np.isin instead of a per-posting Python loop.
-        self.deleted = (
-            np.sort(np.fromiter(deleted, dtype=np.int64, count=len(deleted)))
-            if deleted
-            else None
+        # Size-guarded delete vector (r4 verdict #2): driver-sized sets
+        # collect to a sorted array (one vectorized np.isin per block
+        # decode); larger sets stay a DataFrame and resolve lazily per
+        # fetch window through the store's TombstoneView — the full
+        # vector never materializes on the driver.
+        tmode, tpayload = resolve_tombstones(
+            spark, index_dir, path=self._paths["tombstones"]
         )
+        self._tombstones_df = None
+        if tmode == "array":
+            self.deleted = tpayload
+        elif tmode == "df":
+            self.deleted = TombstoneView()
+            self._tombstones_df = tpayload
+        else:
+            self.deleted = None
         self._deleted_bc = None  # lazily created, cached per searcher
         self._docs_path = self._paths["docs"]
-        self.store = SegmentBlobStore(spark, self._paths["segments"])
+        self.store = SegmentBlobStore(
+            spark,
+            self._paths["segments"],
+            tombstones_df=self._tombstones_df,
+            tombstone_view=self.deleted if tmode == "df" else None,
+        )
         if page_cache_dir is not None:
             from myaku_spark.operators.topk_cache import PageCacheTable
 
@@ -401,11 +467,19 @@ class IndexSearcher:
         # one broadcast per SEARCHER, not per call (self.deleted is
         # immutable by the snapshot contract) — repeated interactive
         # phrase queries must not leak a broadcast each
-        if self.deleted is not None and self._deleted_bc is None:
+        if (
+            isinstance(self.deleted, np.ndarray)
+            and self._deleted_bc is None
+        ):
             self._deleted_bc = self.spark.sparkContext.broadcast(
                 self.deleted
             )
         postings = decode_postings(segments, deleted=self._deleted_bc)
+        if self._tombstones_df is not None:
+            # df-mode delete vector: distributed anti-join, no driver set.
+            postings = postings.join(
+                self._tombstones_df, "doc_id", "left_anti"
+            )
         rows = (
             phrase_match(postings, terms, gap=gap, slop=slop)
             .orderBy(F.desc("phrase_tf"), "doc_id")

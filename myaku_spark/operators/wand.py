@@ -67,12 +67,33 @@ class BM25Scorer:
 # --- term cursor over lazily-decoded blocks ----------------------------------
 
 
+class TombstoneView:
+    """Grow-only sorted deleted-id accumulator for df-mode tombstones
+    (delete vectors beyond driver size, r4 verdict #2): the two-phase
+    store resolves deletes per FETCH WINDOW — a semi-join of the
+    fetched blocks' decoded doc ids against the delete-vector
+    DataFrame, so driver bytes stay bounded by opened postings, never
+    the vector — and merges the hits here. _Block.ensure_decoded reads
+    ``.array`` only AFTER its blob fetch ran, so the ids relevant to
+    the block are always present by the time the isin filter runs."""
+
+    def __init__(self):
+        self.array = np.empty(0, dtype=np.int64)
+
+    def add(self, ids: np.ndarray) -> None:
+        if len(ids):
+            self.array = np.union1d(self.array, ids)
+
+
 def _deleted_array(deleted) -> np.ndarray | None:
     """Normalize a tombstone collection to a SORTED int64 array (or None)
     so block decode filters with one vectorized np.isin — never a
-    per-posting Python membership loop."""
+    per-posting Python membership loop. TombstoneViews pass through
+    unchanged (resolved lazily per block)."""
     if deleted is None:
         return None
+    if isinstance(deleted, TombstoneView):
+        return deleted
     if isinstance(deleted, np.ndarray):
         return deleted if deleted.size else None
     if not deleted:
@@ -104,6 +125,10 @@ class _Block:
             tfs = dec["tfs"]
             payload = dec.get("scores", np.zeros_like(dec["tfs"]))
             d = self.deleted
+            if isinstance(d, TombstoneView):
+                # df-mode: the fetch that just ran resolved this
+                # window's deleted ids into the view.
+                d = d.array
             if d is not None and d.size:
                 # Range probe first: most blocks contain no tombstoned
                 # doc at all and skip the isin entirely.

@@ -20,8 +20,20 @@ from myaku_spark.operators.codec import decode_block, encode_block
 from myaku_spark.operators.segments import SEGMENT_SCHEMA, write_segments
 
 
-def _merge_with_tombstones(deleted: set):
+def _merge_with_tombstones(deleted):
+    """``deleted``: a set/frozenset of doc ids (driver-sized delete
+    vectors, shipped in the closure), or None when the rows carry their
+    own per-block ``del_ids`` arrays (df-mode: the vector stayed
+    distributed and arrived via tombstone_block_patches)."""
+
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        local = deleted if deleted is not None else frozenset()
+        if "del_ids" in pdf.columns:
+            s = set()
+            for a in pdf["del_ids"]:
+                if isinstance(a, (list, np.ndarray)):
+                    s.update(int(x) for x in a)
+            local = s if deleted is None else (s | set(deleted))
         pdf = pdf.sort_values("run_order")
         by_doc: dict[int, tuple] = {}
         for _, row in pdf.iterrows():
@@ -29,7 +41,7 @@ def _merge_with_tombstones(deleted: set):
             pos = dec.get("positions")
             for i, d in enumerate(dec["doc_ids"]):
                 d = int(d)
-                if d in deleted:
+                if d in local:
                     by_doc.pop(d, None)
                     continue
                 by_doc[d] = (
@@ -85,14 +97,37 @@ def compact_index(
     import os
 
     from myaku_spark.plans import catalog
-    from myaku_spark.plans.incremental import load_tombstones
+    from myaku_spark.plans.incremental import (
+        resolve_tombstones,
+        tombstone_block_patches,
+    )
 
     cat, paths = catalog.resolve(index_dir)
     version = int(cat["version"]) + 1
-    deleted = load_tombstones(spark, index_dir, path=paths["tombstones"])
+    # Size-guarded delete vector (r4 verdict #2): driver-sized sets ship
+    # in the merge closure as before; larger sets stay a DataFrame —
+    # per-block del_ids ride the rows via the binned interval join and
+    # the docs rewrite anti-joins distributively.
+    tmode, tpayload = resolve_tombstones(
+        spark, index_dir, path=paths["tombstones"]
+    )
+    deleted = frozenset(int(d) for d in tpayload) if tmode == "array" else None
+    n_deleted = len(deleted) if deleted is not None else (
+        int(tpayload.count()) if tmode == "df" else 0
+    )
     segs = spark.read.parquet(paths["segments"]).withColumn(
         "run_order", F.col("group").cast("int")
     )
+    if tmode == "df":
+        patches = tombstone_block_patches(
+            segs.select(
+                "group", "bucket", "term", "block_id", "min_doc", "max_doc"
+            ),
+            tpayload,
+        )
+        segs = segs.join(
+            patches, ["group", "bucket", "term", "block_id"], "left"
+        )
     merged = segs.groupBy("term", "block_id").applyInPandas(
         _merge_with_tombstones(deleted), SEGMENT_SCHEMA
     )
@@ -106,6 +141,8 @@ def compact_index(
             [(int(d),) for d in deleted], ["doc_id"]
         )
         docs = docs.join(F.broadcast(tomb_df), "doc_id", "left_anti")
+    elif tmode == "df":
+        docs = docs.join(tpayload, "doc_id", "left_anti")
     if "group" in docs.columns:
         docs = docs.drop("group")
     docs.write.mode("overwrite").parquet(f"{index_dir}/{docs_rel}/group=0")
@@ -152,6 +189,6 @@ def compact_index(
         catalog.gc_names(index_dir, keep)
     return {
         "n_docs": n_docs,
-        "tombstones_applied": len(deleted),
+        "tombstones_applied": n_deleted,
         "version": version,
     }

@@ -184,6 +184,66 @@ def load_tombstones(
     return {r.doc_id for r in spark.read.parquet(path).collect()}
 
 
+# Above this many tombstone rows the delete vector stays a DataFrame
+# (r4 verdict #2): a collect-then-broadcast of 10^9+ deleted doc_ids is
+# a driver OOM regardless of compaction pressure. Below it the sorted-
+# array broadcast is both smaller and faster (one vectorized np.isin at
+# block decode vs an anti-join/patch join).
+TOMBSTONE_DRIVER_MAX = 1_000_000
+
+
+def resolve_tombstones(
+    spark: SparkSession,
+    index_dir: str,
+    path: str | None = None,
+    max_driver_rows: int | None = None,
+):
+    """Size-guarded delete-vector access: ('none', None) when empty,
+    ('array', sorted int64 ndarray) when the set is driver-sized, else
+    ('df', DataFrame[doc_id]) — the count is the only driver-side
+    datum above the threshold. Serving paths dispatch on the mode:
+    arrays broadcast into the decode kernels exactly as before; df
+    mode applies the deletes distributively (postings anti-join on the
+    phrase path, binned-interval del_ids attach on the batch-WAND
+    path, per-fetch-window semi-joins on the interactive two-phase
+    path)."""
+    from myaku_spark.plans import catalog
+
+    if max_driver_rows is None:  # late-bound so tests can tune the knob
+        max_driver_rows = TOMBSTONE_DRIVER_MAX
+    if path is None:
+        path = catalog.path_of(index_dir, "tombstones")
+    if not catalog.parquet_exists(path):
+        return "none", None
+    df = spark.read.parquet(path).select("doc_id")
+    n = df.count()
+    if n == 0:
+        return "none", None
+    if n <= max_driver_rows:
+        arr = np.unique(
+            np.fromiter(
+                (r.doc_id for r in df.collect()), dtype=np.int64, count=n
+            )
+        )
+        return "array", arr
+    return "df", df
+
+
+def tombstone_block_patches(segs: DataFrame, tombs: DataFrame) -> DataFrame:
+    """(group, bucket, term, block_id, del_ids): per-block sorted
+    deleted-doc arrays via the SAME binned interval join the rescore
+    path uses (_block_patches) — the delete vector never materializes
+    on the driver, and each block meets only its own group's deletes
+    (dense per-group ids; see _block_patches' scale note)."""
+    p = _block_patches(
+        segs, tombs.select("doc_id", F.lit(0).cast("long").alias("_delta"))
+    )
+    return p.select(
+        "group", "bucket", "term", "block_id",
+        F.col("patch_ids").alias("del_ids"),
+    )
+
+
 def _recency_days(ts_col, now_col):
     return F.floor(
         (now_col.cast("timestamp").cast("double") - ts_col.cast("double"))
