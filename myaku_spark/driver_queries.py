@@ -2338,12 +2338,27 @@ def _ja_postings_values() -> str:
 
 def _media_features_values() -> str:
     """Expected (media_id, kind, n_bytes, dim) from the synth media
-    generator's deterministic payload sizes (multimodal.py)."""
+    generator's deterministic payloads (multimodal.py). Image rows are
+    real PNG/BMP containers whose DECODED pixels feed the feature
+    kernel; their byte sizes come from the same stdlib encoders the
+    generator uses (pixel-exact decode correctness is pinned by the
+    imagecodec roundtrip pytest suite, not this size oracle)."""
+    from myaku_spark.functions.imagecodec import encode_bmp, encode_png
+    from myaku_spark.operators.multimodal import synth_image_raster
+
     kinds = ["image", "audio", "video"]
-    rows = [
-        (i, kinds[i % 3], 64 * (4 + i % 5), 64)
-        for i in range(48)
-    ]
+    rows = []
+    for i in range(48):
+        kind = kinds[i % 3]
+        if kind == "image":
+            raster = synth_image_raster(i)
+            payload = (
+                encode_png(raster) if (i // 3) % 2 == 0 else encode_bmp(raster)
+            )
+            nb = len(payload)
+        else:
+            nb = 64 * (4 + i % 5)
+        rows.append((i, kind, nb, 64))
     return _values_sql(rows, ["media_id", "kind", "n_bytes", "dim"])
 
 

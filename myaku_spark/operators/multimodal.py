@@ -58,23 +58,41 @@ FEATURES_SCHEMA = StructType(
 )
 
 
-def _fake_decode(payload: bytes, kind: str) -> np.ndarray:
-    """Deterministic stand-in for a real decode+embed kernel: a seeded
-    byte-histogram projection. Replace via set_decoder() in production
-    (the real kernel would decode with PIL/ffmpeg and run a vision/audio
-    encoder). Raises NotImplementedError for unknown kinds, marking the
-    genuine stub boundary."""
-    if kind not in ("image", "audio", "video"):
-        raise NotImplementedError(f"no decoder for media kind {kind!r}")
-    arr = np.frombuffer(payload, dtype=np.uint8)
-    hist = np.bincount(arr % FEATURE_DIM, minlength=FEATURE_DIM).astype(
+def _feature_projection(values: np.ndarray) -> np.ndarray:
+    """Normalized histogram projection of uint8 samples → FEATURE_DIM."""
+    hist = np.bincount(values % FEATURE_DIM, minlength=FEATURE_DIM).astype(
         np.float64
     )
     norm = np.linalg.norm(hist)
     return (hist / norm if norm > 0 else hist).astype(np.float32)
 
 
-_DECODER: Callable[[bytes, str], np.ndarray] = _fake_decode
+def _fake_decode(payload: bytes, kind: str) -> np.ndarray:
+    """Deterministic stand-in for a real decode+embed kernel: a seeded
+    byte-histogram projection over the RAW payload bytes. Still the
+    audio/video path (no ffmpeg in this environment). Raises
+    NotImplementedError for unknown kinds, marking the genuine stub
+    boundary."""
+    if kind not in ("image", "audio", "video"):
+        raise NotImplementedError(f"no decoder for media kind {kind!r}")
+    return _feature_projection(np.frombuffer(payload, dtype=np.uint8))
+
+
+def _default_decode(payload: bytes, kind: str) -> np.ndarray:
+    """Image payloads decode FOR REAL (r4 verdict #6): PNG/BMP via the
+    stdlib codec (functions/imagecodec.py), features projected from the
+    decoded PIXELS, not the container bytes. Audio/video stay on the
+    declared byte-histogram stub (replace via set_decoder with a real
+    ffmpeg-backed kernel in production)."""
+    if kind == "image":
+        from myaku_spark.functions.imagecodec import decode_image
+
+        raster = decode_image(bytes(payload))  # ValueError on non-PNG/BMP
+        return _feature_projection(raster.reshape(-1))
+    return _fake_decode(payload, kind)
+
+
+_DECODER: Callable[[bytes, str], np.ndarray] = _default_decode
 
 
 def set_decoder(fn: Callable[[bytes, str], np.ndarray]) -> None:
@@ -133,21 +151,24 @@ RESIZED_SCHEMA = StructType(
 )
 
 
-def _fake_resize(payload: bytes, w: int, h: int) -> bytes:
-    """Deterministic stand-in for an image resize kernel (PIL not
-    available): truncate/tile the byte stream to w*h bytes so output
-    size is exactly the resized raster's. Replace alongside
-    set_decoder() in production."""
-    target = w * h
-    reps = (target // max(len(payload), 1)) + 1
-    return (payload * reps)[:target]
+def _real_resize(payload: bytes, w: int, h: int) -> bytes:
+    """Decode (PNG/BMP) → nearest-neighbor resample → re-encode PNG.
+    A real raster transform, all stdlib (imagecodec.py)."""
+    from myaku_spark.functions.imagecodec import (
+        decode_image,
+        encode_png,
+        resize_nearest,
+    )
+
+    return encode_png(resize_nearest(decode_image(payload), w, h))
 
 
 def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
-    """mapInPandas image-resize pass (stub kernel, real plumbing): only
-    image rows are decoded; payload bytes stay executor-side and the
-    output is again a typed binary column downstream stages can chain
-    (resize → extract_features is the standard preprocessing pipeline)."""
+    """mapInPandas image-resize pass: only image rows are decoded;
+    payload bytes stay executor-side and the output is again a typed
+    binary column downstream stages can chain (resize →
+    extract_features is the standard preprocessing pipeline). The
+    kernel is a REAL decode → nearest-neighbor → PNG re-encode."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -157,7 +178,7 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFr
                     "width": [width] * len(pdf),
                     "height": [height] * len(pdf),
                     "payload": [
-                        _fake_resize(bytes(p), width, height)
+                        _real_resize(bytes(p), width, height)
                         for p in pdf["payload"]
                     ],
                 }
@@ -168,26 +189,51 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFr
     )
 
 
-def synth_media_df(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table for tests."""
+def synth_image_raster(i: int) -> np.ndarray:
+    """Deterministic (12+i%5, 16, 3) uint8 raster — pixel bytes derive
+    from a keyed blake2b stream, stable across platforms/numpy."""
     import hashlib
+
+    h, w = 12 + i % 5, 16
+    need = h * w * 3
+    buf = bytearray()
+    ctr = 0
+    while len(buf) < need:
+        buf.extend(
+            hashlib.blake2b(
+                f"raster{i}:{ctr}".encode(), digest_size=64, key=b"mm"
+            ).digest()
+        )
+        ctr += 1
+    return np.frombuffer(bytes(buf[:need]), dtype=np.uint8).reshape(h, w, 3)
+
+
+def synth_media_df(spark, n: int = 64) -> DataFrame:
+    """Deterministic media table for tests: image rows are REAL PNGs
+    (even ids) / BMPs (odd ids) of synth_image_raster; audio/video are
+    hash-stream payloads for the declared stub kernel."""
+    import hashlib
+
+    from myaku_spark.functions.imagecodec import encode_bmp, encode_png
 
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = hashlib.blake2b(
-            f"media{i}".encode(), digest_size=64, key=b"mm"
-        ).digest() * (4 + i % 5)
-        rows.append(
-            (
-                i,
-                kind,
-                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
-                payload,
-                64 if kind == "image" else None,
-                64 if kind == "image" else None,
-                5000 if kind != "image" else None,
+        if kind == "image":
+            raster = synth_image_raster(i)
+            payload = (
+                encode_png(raster) if (i // 3) % 2 == 0 else encode_bmp(raster)
             )
-        )
+            mime = "image/png" if (i // 3) % 2 == 0 else "image/bmp"
+            mw, mh = raster.shape[1], raster.shape[0]
+            dur = None
+        else:
+            payload = hashlib.blake2b(
+                f"media{i}".encode(), digest_size=64, key=b"mm"
+            ).digest() * (4 + i % 5)
+            mime = {"audio": "audio/wav", "video": "video/mp4"}[kind]
+            mw = mh = None
+            dur = 5000
+        rows.append((i, kind, mime, payload, mw, mh, dur))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

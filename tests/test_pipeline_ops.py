@@ -227,20 +227,30 @@ def test_ivf_topk_partial_probe_recall(spark, sf_dir):
     assert assigned.select("list_id").distinct().count() <= 8
 
 
-def test_resize_images_stub(spark):
-    """Resize plumbing: image rows only, exact output raster size,
-    binary column chains into the feature extractor."""
+def test_resize_images_real(spark):
+    """Resize is a REAL raster transform now: image rows only, output
+    payloads are valid PNGs of exactly (height, width), pixel values a
+    nearest-neighbor gather of the source raster; the binary column
+    chains into the feature extractor."""
+    import numpy as np
+
+    from myaku_spark.functions.imagecodec import decode_png, resize_nearest
     from myaku_spark.operators.multimodal import (
         extract_features,
         resize_images,
+        synth_image_raster,
         synth_media_df,
     )
 
     media = synth_media_df(spark, 12)
     resized = resize_images(media, width=16, height=8)
     rows = resized.collect()
-    assert rows and all(len(bytes(r.payload)) == 16 * 8 for r in rows)
     assert len(rows) == sum(1 for r in media.collect() if r.kind == "image")
+    for r in rows:
+        raster = decode_png(bytes(r.payload))
+        assert raster.shape == (8, 16, 3)
+        want = resize_nearest(synth_image_raster(r.media_id), 16, 8)
+        assert np.array_equal(raster, want)
     # Chain: resized binary → feature extraction (same Arrow plumbing).
     chained = extract_features(
         resized.withColumn("kind", F.lit("image"))
