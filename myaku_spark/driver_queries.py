@@ -197,6 +197,65 @@ def q_bm25_topk(spark, sf_dir):
     )
 
 
+E2E_TERMS = ["spark", "query"]  # exactly 2 → float-sum order-safe
+E2E_PAGE = 2
+E2E_K = 10
+
+
+def q_segment_search_e2e(spark, sf_dir):
+    """r4 verdict #7 — ONE gate row covering the full serving path
+    THROUGH the codec: documents → postings → compressed segment blocks
+    (small head_df_threshold/block_doc_range so head terms genuinely
+    range-block) → a temp index layout (v0 catalog: segments/docs/
+    term_stats/corpus_stats parquet) → IndexSearcher(mode='bm25')
+    two-phase WAND (metadata-only plan, lazy blob windows) → page-2
+    slice → hydration join. The oracle replays it relationally in
+    DuckDB: per-doc BM25 sum over the query terms, ORDER BY
+    (score, doc_id) DESC, rows 11-20."""
+    import shutil
+    import tempfile
+
+    from myaku_spark.operators.search import IndexSearcher
+    from myaku_spark.operators.segments import build_segments, write_segments
+
+    toks = _tokens(spark, sf_dir)
+    p = post_ops.build_postings(toks)
+    ds = post_ops.doc_stats(toks)
+    postings = p.join(ds, "doc_id").withColumn("payload", F.col("dl"))
+    d = tempfile.mkdtemp(prefix="e2e_idx_")
+    try:
+        segs = build_segments(
+            postings,
+            payload_col="payload",
+            with_positions=False,
+            head_df_threshold=64,
+            block_doc_range=64,
+        )
+        write_segments(segs, f"{d}/segments/group=0")
+        ds.write.mode("overwrite").parquet(f"{d}/docs")
+        p.groupBy("term").agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("cf"),
+        ).write.mode("overwrite").parquet(f"{d}/term_stats")
+        ds.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+        ).write.mode("overwrite").parquet(f"{d}/corpus_stats")
+        s = IndexSearcher(spark, d, mode="bm25")
+        page = s.search_page(
+            E2E_TERMS, page_num=E2E_PAGE, k=E2E_K, combine="or"
+        )
+        rows = [
+            (int(r.rank) + E2E_K * (E2E_PAGE - 1), int(r.doc_id),
+             int(r.dl), round(float(r.score), 3))
+            for r in page.collect()
+        ]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "rank int, doc_id long, dl long, score_r double"
+    )
+
+
 RRF_TERM = "spark"
 RRF_C = 60  # the standard RRF constant
 RRF_TOPN = 50
@@ -2173,7 +2232,9 @@ QUERIES = {
     "interp_position_map": q_interp_position_map,
     "fli_rollup": q_fli_rollup,
     "fli_field_families": q_fli_field_families,
-    # Previously-reported keys follow in their r4 order; the last 15 of
+    # New in round 5 — inside the report window on first appearance.
+    "segment_search_e2e": q_segment_search_e2e,
+    # Previously-reported keys follow in their r4 order; the last 16 of
     # them rotate out of this round's window (all green in
     # CORRECTNESS_r04.json).
     "blog_rollup": q_blog_rollup,
@@ -2461,6 +2522,22 @@ SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
 FROM postings GROUP BY term
 """,
     "term_dictionary": f"WITH {_SQL_POSTINGS} SELECT DISTINCT term FROM postings",
+    "segment_search_e2e": f"""
+WITH {_SQL_BM25},
+qdoc AS (
+  SELECT doc_id, sum(bm25) AS score FROM scored
+  WHERE term IN ({",".join(repr(t) for t in E2E_TERMS)})
+  GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id DESC) AS rank
+  FROM qdoc
+)
+SELECT CAST(rank AS INT) AS rank, r.doc_id, d.dl, round(score, 3) AS score_r
+FROM ranked r JOIN dstats d USING (doc_id)
+WHERE rank > {E2E_K * (E2E_PAGE - 1)} AND rank <= {E2E_K * E2E_PAGE}
+""",
     "bm25_topk": f"""
 WITH {_SQL_BM25},
 ranked AS (
