@@ -262,8 +262,12 @@ class JaDictionary:
                 # (the reference records dictionary versions in its index
                 # contract, japanese_analysis.py:50-66).
                 h = hashlib.sha256()
-                for p in [paths] if isinstance(paths, str) else paths:
-                    h.update(open(p, "rb").read())
+                for p in (
+                    [paths] if isinstance(paths, (str, tuple)) else paths
+                ):
+                    # (name, bytes) tuples hash their content directly.
+                    h.update(p[1] if isinstance(p, tuple) else
+                             open(p, "rb").read())
                 self.version = f"{JA_LEXICON_VERSION}+{h.hexdigest()[:12]}"
         # Conjunction-rule surfaces must be regex members regardless of
         # word source; their pieces come from the rules, not the map.
@@ -273,13 +277,15 @@ class JaDictionary:
         self.surface_map = surface_map
         self.conjunction_rules = CONJUNCTION_RULES
         self.max_surface_len = max(len(s) for s in surface_map)
-        # Longest-first alternation ≡ longest-match at each position.
-        self.regex = re.compile(
-            "|".join(
-                re.escape(s)
-                for s in sorted(surface_map, key=len, reverse=True)
-            )
+        # Surface lengths actually present, longest first: the scanner
+        # (tokenize_ja_block) probes only these per position — O(#lens)
+        # dict lookups instead of CPython re's O(#alternatives)
+        # backtracking alternation, which at real-dictionary scale
+        # (50k+ surfaces) dominated the whole tokenize path.
+        self.match_lens = tuple(
+            sorted({len(s) for s in surface_map}, reverse=True)
         )
+        self._regex = None
 
         # JMdict subset from the XML parse path (jmdict_xml.py): decomp
         # keys computed with THIS dictionary's word layer (same
@@ -304,6 +310,22 @@ class JaDictionary:
             toks = tokenize_ja_block(text_form, 0, dictionary=self)
             decomp = tuple(t["base"] for t in toks)
             self.jmdict.add(entry_id, text_form, decomp)
+
+    @property
+    def regex(self) -> "re.Pattern":
+        """Longest-first alternation over all surfaces (legacy matcher,
+        kept for debugging/compat). Lazy — compiling 50k+ alternatives
+        costs ~1s and the production scanner never needs it."""
+        if self._regex is None:
+            self._regex = re.compile(
+                "|".join(
+                    re.escape(s)
+                    for s in sorted(
+                        self.surface_map, key=len, reverse=True
+                    )
+                )
+            )
+        return self._regex
 
     def pieces_for(self, surface: str, sentence_initial: bool) -> tuple:
         rule = self.conjunction_rules.get(surface)

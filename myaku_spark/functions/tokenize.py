@@ -224,19 +224,42 @@ def tokenize_ja_block(
 ) -> list[dict]:
     """Tokenize one newline-free block (offsets absolute, symbols kept).
 
-    Dictionary surfaces are matched longest-leftmost (one compiled-regex
-    pass; alternation is sorted longest-first, so the leftmost match is
-    also the longest at its position); the gaps between matches are
-    script-run segmented. Out-of-vocabulary tokens get base = surface."""
+    Dictionary surfaces are matched longest-leftmost by a dict-probe
+    scanner: at each position the lengths actually present in the
+    dictionary (d.match_lens, longest first) probe surface_map — a
+    handful of hash lookups per character, INDEPENDENT of dictionary
+    size. (The previous single-alternation regex was O(#surfaces) per
+    position in CPython's backtracking engine — at the 50k+ surfaces a
+    real ipadic/NEologd drop-in ships, that dominated the whole
+    tokenize path.) Gaps between matches are script-run segmented;
+    out-of-vocabulary tokens get base = surface."""
     d = dictionary if dictionary is not None else resolve_dictionary(None)
+    smap = d.surface_map
+    lens = d.match_lens
     tokens: list[dict] = []
-    pos = 0
-    for m in d.regex.finditer(block):
-        s, e = m.span()
-        if s > pos:
-            _emit_gap(block[pos:s], offset + pos, tokens)
-        pieces = d.pieces_for(m.group(), _sentence_initial(block, s))
-        cur = s
+    n = len(block)
+    i = 0
+    gap_start = None
+    while i < n:
+        rem = n - i
+        matched = None
+        for ln in lens:
+            if ln > rem:
+                continue
+            cand = block[i : i + ln]
+            if cand in smap:
+                matched = cand
+                break
+        if matched is None:
+            if gap_start is None:
+                gap_start = i
+            i += 1
+            continue
+        if gap_start is not None:
+            _emit_gap(block[gap_start:i], offset + gap_start, tokens)
+            gap_start = None
+        pieces = d.pieces_for(matched, _sentence_initial(block, i))
+        cur = i
         for psurf, pbase, ppos in pieces:
             conj = d.conj_map.get((psurf, pbase, ppos))
             tokens.append(
@@ -251,9 +274,9 @@ def tokenize_ja_block(
                 )
             )
             cur += len(psurf)
-        pos = e
-    if pos < len(block):
-        _emit_gap(block[pos:], offset + pos, tokens)
+        i += len(matched)
+    if gap_start is not None:
+        _emit_gap(block[gap_start:], offset + gap_start, tokens)
     for t in tokens:
         t.setdefault("base", t["surface"])
     return tokens
