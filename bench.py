@@ -317,6 +317,32 @@ def main() -> None:
     shutil.rmtree(idx_dir, ignore_errors=True)
     pages.unpersist()
 
+    # Full-scale dictionary load (r4 verdict #3): synthesize a >=50k-surface
+    # ipadic-format CSV + JMdict subset and time the executor-side
+    # JaDictionary construction a real NEologd drop-in would pay, plus the
+    # pickled closure size a broadcast ships. Pure python, Spark idle.
+    lex: dict = {}
+    try:
+        import subprocess
+        import sys as _sys
+
+        _lex_script = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "scripts",
+            "gen_big_lexicon.py",
+        )
+        _proc = subprocess.run(
+            [_sys.executable, _lex_script, "/tmp/big_lexicon_bench"],
+            capture_output=True,
+            text=True,
+            check=True,
+            timeout=600,
+        )
+        lex = json.loads(_proc.stdout.strip().splitlines()[-1])
+        timings["lexicon_load_50k"] = lex["dict_construct_total_sec"]
+    except Exception as exc:  # noqa: BLE001 — bench must still emit JSON
+        lex = {"error": repr(exc)[:200]}
+
     canary_end = canary_sec()  # Spark is idle here; measures the BOX
     canary_worst = max(canary_start, canary_end)
     total = round(sum(timings.values()) + build_sec, 3)
@@ -346,6 +372,11 @@ def main() -> None:
                 "phrase_batch_queries": len(phrase_queries),
                 "phrase_batch_qps": phrase_qps,
                 "phrase_batch_result_rows": int(n_phrase_rows),
+                "lexicon_surfaces": lex.get("surfaces"),
+                "lexicon_load_sec": lex.get("dict_construct_total_sec"),
+                "lexicon_pickled_mb": lex.get("pickled_mb"),
+                "lexicon_tokens_per_sec": lex.get("tokens_per_sec"),
+                "lexicon_error": lex.get("error"),
                 "cpus": cpus,
                 "canary_start_sec": round(canary_start, 3),
                 "canary_end_sec": round(canary_end, 3),

@@ -2210,6 +2210,34 @@ def q_curation_funnel(spark, sf_dir):
     )
 
 
+FUZZY_QUERIES = [
+    ("q1", "windoe"),   # window, 1 sub+1 swap-ish
+    ("q2", "streem"),   # stream
+    ("q3", "custmer"),  # customer, deletion
+    ("q4", "qury"),     # query, deletion
+    ("q5", "sparc"),    # spark, substitution
+]
+
+
+def q_fuzzy_terms(spark, sf_dir):
+    """Fuzzy term lookup ("did you mean"): top-3 dictionary terms within
+    2 edits of each misspelled query term, ranked by (distance, df,
+    term). The Spark plan is the lossless q-gram-pruned candidate join
+    (operators/fuzzy.py — Gravano et al. VLDB'01 count filter plus the
+    short-string leg); the oracle replays it brute-force, so the gate
+    also proves the prune drops no true match."""
+    from myaku_spark.operators.fuzzy import fuzzy_term_lookup
+
+    p = post_ops.build_postings(_tokens(spark, sf_dir))
+    terms = post_ops.term_stats(p).select(
+        "term", F.col("df").cast("long").alias("df")
+    )
+    queries = spark.createDataFrame(
+        FUZZY_QUERIES, "query_id string, q string"
+    )
+    return fuzzy_term_lookup(terms, queries, max_dist=2, k=3)
+
+
 QUERIES = {
     # The driver's correctness gate reports the first 50 entries in dict
     # order; with 65 queries the surface is rotated round-to-round so every
@@ -2234,6 +2262,7 @@ QUERIES = {
     "fli_field_families": q_fli_field_families,
     # New in round 5 — inside the report window on first appearance.
     "segment_search_e2e": q_segment_search_e2e,
+    "fuzzy_terms": q_fuzzy_terms,
     # Previously-reported keys follow in their r4 order; the last 16 of
     # them rotate out of this round's window (all green in
     # CORRECTNESS_r04.json).
@@ -2537,6 +2566,25 @@ ranked AS (
 SELECT CAST(rank AS INT) AS rank, r.doc_id, d.dl, round(score, 3) AS score_r
 FROM ranked r JOIN dstats d USING (doc_id)
 WHERE rank > {E2E_K * (E2E_PAGE - 1)} AND rank <= {E2E_K * E2E_PAGE}
+""",
+    "fuzzy_terms": f"""
+WITH {_SQL_POSTINGS},
+term_df AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM postings GROUP BY term
+),
+queries(query_id, q) AS (
+  VALUES {",".join(f"({qid!r}, {qt!r})" for qid, qt in FUZZY_QUERIES)}
+),
+pairs AS (
+  SELECT query_id, q, term,
+         CAST(levenshtein(term, q) AS INT) AS dist, df
+  FROM term_df CROSS JOIN queries
+  WHERE levenshtein(term, q) <= 2
+)
+SELECT query_id, q, term, dist, df FROM pairs
+QUALIFY row_number() OVER (
+  PARTITION BY query_id ORDER BY dist, df DESC, term) <= 3
 """,
     "bm25_topk": f"""
 WITH {_SQL_BM25},
