@@ -2238,6 +2238,22 @@ def q_fuzzy_terms(spark, sf_dir):
     return fuzzy_term_lookup(terms, queries, max_dist=2, k=3)
 
 
+SUBSTR_L = 80  # min duplicated-substring length (chars) for the gate
+
+
+def q_substring_spans(spark, sf_dir):
+    """Exact repeated-substring spans (Lee et al. ACL'22 exact-substring
+    dedup, L-gram formulation): maximal merged [p, p+L) intervals of
+    positions whose L-gram occurs >= 2 times anywhere in the corpus.
+    The oracle replays the same L-gram/merge construction relationally
+    in DuckDB, so the gate pins both the coverage rule and the
+    gaps-and-islands interval merge."""
+    from myaku_spark.operators.dedup import repeated_substring_spans
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return repeated_substring_spans(docs, min_len=SUBSTR_L)
+
+
 QUERIES = {
     # The driver's correctness gate reports the first 50 entries in dict
     # order; with 65 queries the surface is rotated round-to-round so every
@@ -2263,6 +2279,7 @@ QUERIES = {
     # New in round 5 — inside the report window on first appearance.
     "segment_search_e2e": q_segment_search_e2e,
     "fuzzy_terms": q_fuzzy_terms,
+    "substring_spans": q_substring_spans,
     # Previously-reported keys follow in their r4 order; the last 16 of
     # them rotate out of this round's window (all green in
     # CORRECTNESS_r04.json).
@@ -2566,6 +2583,33 @@ ranked AS (
 SELECT CAST(rank AS INT) AS rank, r.doc_id, d.dl, round(score, 3) AS score_r
 FROM ranked r JOIN dstats d USING (doc_id)
 WHERE rank > {E2E_K * (E2E_PAGE - 1)} AND rank <= {E2E_K * E2E_PAGE}
+""",
+    "substring_spans": f"""
+WITH g AS (
+  SELECT doc_id, CAST(p AS INT) AS pos,
+         substr(text, CAST(p AS INT) + 1, {SUBSTR_L}) AS gram
+  FROM documents,
+       LATERAL (SELECT unnest(range(0, length(text) - {SUBSTR_L} + 1)) AS p)
+  WHERE length(text) >= {SUBSTR_L}
+),
+rep AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+rp AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM rep)),
+m AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos > coalesce(max(pos + {SUBSTR_L}) OVER (
+        PARTITION BY doc_id ORDER BY pos
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      THEN 1 ELSE 0 END AS new_span
+  FROM rp
+),
+i AS (
+  SELECT doc_id, pos,
+         sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM m
+)
+SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+       CAST(max(pos) + {SUBSTR_L} AS INT) AS span_end
+FROM i GROUP BY doc_id, grp
 """,
     "fuzzy_terms": f"""
 WITH {_SQL_POSTINGS},

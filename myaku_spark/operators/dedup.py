@@ -448,3 +448,132 @@ def boilerplate_ngrams(
             F.sum("is_boiler") / F.count(F.lit(1)) < float(max_ratio)
         ).alias("keep"),
     )
+
+
+def repeated_substring_spans(
+    docs: DataFrame,
+    min_len: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact repeated-substring detection (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022 — the
+    EXACT-SUBSTRING mode; the suffix-array step is replaced by an
+    equivalent L-gram formulation that shuffles instead of sorting).
+
+    A character position p of doc d is *covered* iff the L-gram
+    starting there (L = min_len) occurs at least twice in the corpus
+    (any doc, including d itself).  Every repeated substring of length
+    >= L is a run of covered positions and vice versa, so the maximal
+    duplicated spans are exactly the merged [p, p+L) intervals of
+    covered positions.  Returns one row per maximal span:
+    (doc_id, span_start, span_end), 0-based half-open.
+
+    Scale shape: the gram stream is len(text) rows per doc (linear,
+    the same volume a tokenizer emits); repetition is one
+    groupBy(gram) count with map-side combine (hot boilerplate grams
+    collapse partially before the shuffle), cover-back is a semi-join
+    on the gram key, and interval merging is a doc-local window.  No
+    suffix array, no driver state.  The group key is the raw L-gram
+    (exactness); at petabyte scale substitute
+    ``F.xxhash64(gram)`` to cut shuffle bytes ~L-fold at a 2^-64
+    collision risk per pair.
+    """
+    l = int(min_len)
+    grams = (
+        docs.filter(F.length(text_col) >= l)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.sequence(F.lit(0), F.length(text_col) - l)
+            ).alias("pos"),
+            F.col(text_col).alias("__t"),
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("int").alias("pos"),
+            F.substring(F.col("__t"), F.col("pos") + 1, F.lit(l)).alias(
+                "gram"
+            ),
+        )
+    )
+    rep = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("gram")
+    )
+    covered = grams.join(rep, "gram", "left_semi").select("doc_id", "pos")
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + l).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = covered.withColumn(
+        "new_span",
+        F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(
+            0
+        ),
+    ).withColumn("grp", F.sum("new_span").over(w))
+    return (
+        flagged.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") + l).cast("int").alias("span_end"),
+        )
+        .select("doc_id", "span_start", "span_end")
+    )
+
+
+def strip_repeated_substrings(
+    docs: DataFrame,
+    min_len: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove every maximal duplicated span found by
+    ``repeated_substring_spans`` from the text (span bytes excised,
+    survivors concatenated in order).  Entirely JVM-side: spans
+    collect per doc into a sorted array (span counts are small by
+    construction — merged maximal intervals), and one ``F.aggregate``
+    fold rebuilds the kept text; docs with no spans pass through on
+    the left join.  Adds ``clean_text`` and ``n_dup_spans``.
+    """
+    spans = repeated_substring_spans(docs, min_len, text_col, id_col)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("__spans")
+    )
+    joined = docs.join(
+        per_doc, docs[id_col] == per_doc["doc_id"], "left"
+    ).drop(per_doc["doc_id"])
+    text = F.col(text_col)
+    folded = F.aggregate(
+        F.col("__spans"),
+        F.struct(
+            F.lit(0).alias("cursor"), F.lit("").cast("string").alias("acc")
+        ),
+        lambda acc, s: F.struct(
+            s["span_end"].alias("cursor"),
+            F.concat(
+                acc["acc"],
+                F.substring(
+                    text, acc["cursor"] + 1, s["span_start"] - acc["cursor"]
+                ),
+            ).alias("acc"),
+        ),
+        lambda acc: F.concat(
+            acc["acc"],
+            F.substring(
+                text, acc["cursor"] + 1, F.length(text) - acc["cursor"]
+            ),
+        ),
+    )
+    return joined.withColumn(
+        "clean_text",
+        F.when(F.col("__spans").isNull(), text).otherwise(folded),
+    ).withColumn(
+        "n_dup_spans",
+        F.coalesce(F.size("__spans"), F.lit(0)).cast("int"),
+    ).drop("__spans")

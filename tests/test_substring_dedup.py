@@ -1,0 +1,121 @@
+"""Exact repeated-substring dedup: span semantics, python twin, strip."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from myaku_spark.operators.dedup import (
+    repeated_substring_spans,
+    strip_repeated_substrings,
+)
+
+
+def _twin_spans(texts: dict[int, str], l: int) -> set[tuple[int, int, int]]:
+    """Brute-force reference: covered positions by corpus-wide L-gram
+    counts, merged into maximal [p, p+L) intervals."""
+    from collections import Counter
+
+    counts = Counter(
+        t[p : p + l]
+        for t in texts.values()
+        for p in range(len(t) - l + 1)
+    )
+    out = set()
+    for doc_id, t in texts.items():
+        cov = [
+            p for p in range(len(t) - l + 1) if counts[t[p : p + l]] >= 2
+        ]
+        spans = []
+        for p in cov:
+            if spans and p <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], p + l)
+            else:
+                spans.append([p, p + l])
+        out.update((doc_id, s, e) for s, e in spans)
+    return out
+
+
+def _docs_df(spark, texts: dict[int, str]):
+    return spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+
+
+def _got_spans(spark, texts, l):
+    df = repeated_substring_spans(_docs_df(spark, texts), min_len=l)
+    return {(r.doc_id, r.span_start, r.span_end) for r in df.collect()}
+
+
+def test_cross_doc_repeat_found(spark):
+    texts = {
+        1: "unique-prefix-one " + "SHARED-BOILERPLATE-BLOCK" + " tail-a",
+        2: "different-lead-in " + "SHARED-BOILERPLATE-BLOCK" + " tail-b",
+        3: "no duplication anywhere in this one at all, honest",
+    }
+    got = _got_spans(spark, texts, l=10)
+    assert got == _twin_spans(texts, 10)
+    assert any(d == 1 for d, _, _ in got)
+    assert any(d == 2 for d, _, _ in got)
+    assert not any(d == 3 for d, _, _ in got)
+
+
+def test_within_doc_repeat_and_merge(spark):
+    # "abcdefghij" twice inside one doc: both occurrences covered;
+    # the run of covered positions in the middle must merge.
+    texts = {7: "abcdefghijXYZabcdefghijQQQ", 8: "zzzzzzzz"}
+    l = 10
+    got = _got_spans(spark, texts, l)
+    assert got == _twin_spans(texts, l)
+    assert any(d == 7 for d, _, _ in got)
+
+
+def test_overlapping_self_similarity(spark):
+    # Periodic text: every L-gram repeats shifted by the period, so the
+    # whole doc is one span — the island merge must chain overlaps.
+    texts = {1: "ab" * 40, 2: "unrelated words here entirely"}
+    l = 8
+    got = _got_spans(spark, texts, l)
+    assert got == _twin_spans(texts, l)
+    assert (1, 0, 80) in got
+
+
+def test_twin_sweep_deterministic_corpus(spark):
+    # Small alphabet + varied lengths: lots of accidental repeats,
+    # docs shorter than L, empty doc.
+    import hashlib
+
+    def word(i):
+        return hashlib.md5(str(i).encode()).hexdigest()[:4]
+
+    texts = {}
+    for d in range(12):
+        words = [word((d * 7 + j) % 9) for j in range(d * 3)]
+        texts[d] = " ".join(words)
+    for l in (6, 12):
+        assert _got_spans(spark, texts, l) == _twin_spans(texts, l), l
+
+
+def test_strip_rebuilds_text(spark):
+    texts = {
+        1: "keepA" + "DUPLICATED-CHUNK-HERE!" + "keepB",
+        2: "prefix" + "DUPLICATED-CHUNK-HERE!" + "suffix",
+        3: "totally original content with no twin",
+    }
+    l = 12
+    spans = _twin_spans(texts, l)
+    out = {
+        r.doc_id: (r.clean_text, r.n_dup_spans)
+        for r in strip_repeated_substrings(
+            _docs_df(spark, texts), min_len=l
+        ).collect()
+    }
+    for d, t in texts.items():
+        d_spans = sorted((s, e) for dd, s, e in spans if dd == d)
+        expect = ""
+        cur = 0
+        for s, e in d_spans:
+            expect += t[cur:s]
+            cur = e
+        expect += t[cur:]
+        assert out[d] == (expect, len(d_spans)), d
+    assert out[3] == (texts[3], 0)
