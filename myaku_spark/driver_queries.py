@@ -1911,16 +1911,19 @@ def q_kmeans_clusters(spark, sf_dir):
 
 
 def _kmeans_prefix(
-    k: int, iters: int, vec_sql: str | None = None, sfx: str = ""
+    k: int, iters: int, vec_sql: str | None = None, sfx: str = "",
+    table: str = "embeddings",
 ) -> str:
     """Lloyd's k-means unrolled as CTEs (assignment a_i/m_i, update
     u_i/c_{i+1}); mirrors kmeans_fit exactly, incl. empty-cluster
     carry-over and lowest-cluster tie-break. Returns the WITH-chain up
     to the final assignment m{iters} so multiple oracles can build on
     the same clustering. ``vec_sql`` overrides the int-scaled vector
-    expression (e.g. a subspace slice for PQ); ``sfx`` suffixes every
-    CTE name so several chains can coexist in one statement (the first
-    chain must carry the WITH keyword: strip it for later ones)."""
+    expression (e.g. a subspace slice for PQ); ``table`` the source
+    relation (e.g. a twin-seeded CTE for semantic_dedup); ``sfx``
+    suffixes every CTE name so several chains can coexist in one
+    statement (the first chain must carry the WITH keyword: strip it
+    for later ones)."""
     vec_sql = vec_sql or (
         "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000))"
     )
@@ -1928,7 +1931,7 @@ def _kmeans_prefix(
         f"""
 e{sfx} AS MATERIALIZED (
   SELECT vec_id, {vec_sql} AS v
-  FROM embeddings
+  FROM {table}
 ),
 c0{sfx} AS MATERIALIZED (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl,
@@ -2047,6 +2050,42 @@ def q_cluster_sample(spark, sf_dir):
     cents = kmeans_fit(emb, k=KM_K, iters=KM_ITERS)
     asg = kmeans_assign(emb, cents)
     return cluster_sample(asg, quota=CS_QUOTA, salt=CS_SALT)
+
+
+SD_TAU = 0.98  # semantic-dedup gate: within-cluster cosine threshold
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup gate (Abbas et al. 2023): the deterministic Lloyd
+    clustering of kmeans_clusters over int-scaled vectors, seeded with
+    exact twins (vec_id+100000, identical vectors — cosine exactly 1,
+    same cluster, guaranteed drops) and near twins (first coordinate
+    +50 — near-1 cosine, usually same cluster), then within-cluster
+    cosine dedup at SD_TAU with lowest-id-survives. Oracle: the same
+    Lloyd CTE chain over the twinned table + a relational pair join."""
+    from myaku_spark.operators.similarity import kmeans_fit, semantic_dedup
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1000, 0),
+        ).alias("embedding"),
+    )
+    exact = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    near = emb.filter(
+        (F.col("vec_id") >= 10) & (F.col("vec_id") < 20)
+    ).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> IF(i = 0, x + 50.0D, x))"
+        ).alias("embedding"),
+    )
+    allv = emb.unionByName(exact).unionByName(near)
+    cents = kmeans_fit(allv, k=KM_K, iters=KM_ITERS)
+    return semantic_dedup(allv, cents, threshold=SD_TAU)
 
 
 LM_K = 0.5  # add-k smoothing constant for the bigram LM gate
@@ -2280,6 +2319,7 @@ QUERIES = {
     "segment_search_e2e": q_segment_search_e2e,
     "fuzzy_terms": q_fuzzy_terms,
     "substring_spans": q_substring_spans,
+    "semantic_dedup": q_semantic_dedup,
     # Previously-reported keys follow in their r4 order; the last 16 of
     # them rotate out of this round's window (all green in
     # CORRECTNESS_r04.json).
@@ -3313,6 +3353,54 @@ LIMIT 20
 """
 
 ORACLE["kmeans_clusters"] = _kmeans_sql(KM_K, KM_ITERS)
+
+
+def _semdedup_sql() -> str:
+    scaled = "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000))"
+    chain = _kmeans_prefix(
+        KM_K, KM_ITERS, vec_sql="v0", sfx="sd", table="combined"
+    )
+    chain = chain[len("WITH ") :]
+    return f"""
+WITH combined AS MATERIALIZED (
+  SELECT vec_id, {scaled} AS v0 FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, {scaled} AS v0
+  FROM embeddings WHERE vec_id < 10
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_concat([({scaled})[1] + 50], ({scaled})[2:]) AS v0
+  FROM embeddings WHERE vec_id >= 10 AND vec_id < 20
+),
+{chain},
+asgsd AS MATERIALIZED (
+  SELECT m.vec_id, m.cl, e.v
+  FROM m{KM_ITERS}sd m JOIN esd e USING (vec_id)
+),
+prsd AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+  FROM asgsd a JOIN asgsd b ON a.cl = b.cl AND a.vec_id < b.vec_id
+),
+explsd AS (
+  SELECT id_a, id_b, CAST(unnest(va) AS DOUBLE) AS x,
+         CAST(unnest(vb) AS DOUBLE) AS y
+  FROM prsd
+),
+sumssd AS (
+  SELECT id_a, id_b, sum(x * y) AS dot,
+         sqrt(sum(x * x)) AS na, sqrt(sum(y * y)) AS nb
+  FROM explsd GROUP BY id_a, id_b
+),
+dupssd AS (
+  SELECT DISTINCT id_b AS vec_id FROM sumssd
+  WHERE round(dot / (na * nb), 4) >= {SD_TAU}
+)
+SELECT m.vec_id, m.cl AS cluster, (d.vec_id IS NULL) AS kept
+FROM m{KM_ITERS}sd m LEFT JOIN dupssd d USING (vec_id)
+"""
+
+
+ORACLE["semantic_dedup"] = _semdedup_sql()
 
 
 def _pq_sql() -> str:

@@ -254,6 +254,23 @@ MAX_RANGE_BLOCKS = 4096
 # a batch (metadata rows, ~24 B each). Queries are pruned cheapest-rare-
 # term-first until the budget runs out; the rest keep all their blocks.
 MAX_TOTAL_RANGES = 262_144
+# Below this on-disk segment footprint, decoding everything is cheaper
+# than what the prune adds (two metadata collects + a broadcast range
+# semi-join in the plan): the prune exists to keep the DECODE from
+# scaling with full posting lists, so when the whole index is already
+# small the metadata passes are pure overhead. Same auto pattern as
+# batch_search.PREFILTER_MIN_SEGMENT_BYTES, with a lower crossover —
+# the phrase prune avoids decode+match CPU, not a blob shuffle.
+# Resolved only for index-dir sources (local dir size probe, no Spark
+# job); DataFrame sources can't be probed cheaply and assume large.
+PRUNE_MIN_SEGMENT_BYTES = 16 * 1024 * 1024
+# Post-stats guard (applies to every source): once the per-term stats
+# are in hand, skip the ranges collect + broadcast range join when the
+# batch's total posting volume is already below the decode cost the
+# prune could save. Measured on the 128-query bench batch: 116k
+# postings at sf0.1 (prune loses ~20% qps), 929k at sf1 (prune wins
+# 1.75x) — the guard sits at the geometric middle.
+PRUNE_MIN_POSTINGS = 300_000
 
 
 def _merge_intervals(ivs: list[tuple[int, int]]) -> list[tuple[int, int]]:
@@ -295,6 +312,8 @@ def _prune_blocks_for_queries(
             F.sum("n_postings").alias("tp"), F.count(F.lit(1)).alias("nb")
         ).collect()
     }
+    if sum(tp for tp, _ in stats.values()) <= PRUNE_MIN_POSTINGS:
+        return segments  # decode-all beats the prune's remaining stages
     keep_all: set[str] = set()
     # query terms keyed by their rare term, cheapest rare term first so
     # the range budget prunes as many queries as possible.
@@ -361,6 +380,20 @@ def _prune_blocks_for_queries(
     return pruned
 
 
+def _resolve_prune(prune, segments_path: str | None) -> bool:
+    """``prune="auto"`` → prune only when the on-disk segment footprint
+    clears PRUNE_MIN_SEGMENT_BYTES (same probe as batch_search's
+    prefilter auto — no Spark job). DataFrame sources (no path) assume
+    large: at real cluster scale the prune always pays."""
+    if prune != "auto":
+        return bool(prune)
+    if segments_path is None:
+        return True
+    from myaku_spark.operators.batch_search import _segments_at_least
+
+    return _segments_at_least(segments_path, PRUNE_MIN_SEGMENT_BYTES)
+
+
 def phrase_search(
     spark: SparkSession,
     source,
@@ -368,18 +401,19 @@ def phrase_search(
     k: int = 10,
     gap: int = 0,
     slop: int = 0,
-    prune: bool = True,
+    prune="auto",
 ) -> DataFrame:
     """Top-k docs for an exact phrase; ``source`` is an index_dir (reads
     the catalog-resolved segments + tombstones) or a segments DataFrame.
     Ranked by phrase_tf desc, doc_id asc via TakeOrderedAndProject.
-    ``prune`` (index_dir path only) applies the rarest-term block-range
-    prune before decode; results are provably unchanged (tested)."""
+    ``prune`` applies the rarest-term block-range prune before decode;
+    results are provably unchanged (tested). "auto" skips it below the
+    footprint crossover where decode-all is cheaper."""
     deleted_bc = None
     tombs_df = None
     if isinstance(source, DataFrame):
         segments = source.filter(F.col("term").isin(list(terms)))
-        if prune:
+        if _resolve_prune(prune, None):
             segments = _prune_blocks_for_queries(segments, [("q", list(terms))])
     else:
         from myaku_spark.operators.segments import read_term_segments
@@ -388,7 +422,7 @@ def phrase_search(
 
         _, paths = catalog.resolve(source)
         segments = read_term_segments(spark, paths["segments"], list(terms))
-        if prune:
+        if _resolve_prune(prune, paths["segments"]):
             segments = _prune_blocks_for_queries(segments, [("q", list(terms))])
         tmode, tpayload = resolve_tombstones(
             spark, source, path=paths["tombstones"]
@@ -584,7 +618,7 @@ def batch_phrase_search(
     k: int = 10,
     gap: int = 0,
     slop: int = 0,
-    prune: bool = True,
+    prune="auto",
 ) -> DataFrame:
     """N phrase queries against ONE decode of the union of their terms,
     evaluated by batch_phrase_match in a single data-parallel plan —
@@ -594,7 +628,8 @@ def batch_phrase_search(
     (_prune_blocks_for_queries) before the shared decode, so the batch
     decodes the union of the queries' intersection neighborhoods, not
     the union of their full posting lists; results are provably
-    unchanged (tested pruned == unpruned == python twin).
+    unchanged (tested pruned == unpruned == python twin). "auto" skips
+    it below the footprint crossover where decode-all is cheaper.
     Per-query top-k via a query-partitioned window; results materialize
     driver-side (N×k rows — driver-sized by construction).
     ``queries``: list[(query_id, [terms])]. Returns
@@ -610,6 +645,7 @@ def batch_phrase_search(
     all_terms = sorted({t for _, terms in queries for t in terms})
     deleted_bc = None
     tombs_df = None
+    seg_path = None
     if isinstance(source, DataFrame):
         segments = source.filter(F.col("term").isin(all_terms))
     else:
@@ -618,6 +654,7 @@ def batch_phrase_search(
         from myaku_spark.plans.incremental import resolve_tombstones
 
         _, paths = catalog.resolve(source)
+        seg_path = paths["segments"]
         segments = read_term_segments(spark, paths["segments"], all_terms)
         tmode, tpayload = resolve_tombstones(
             spark, source, path=paths["tombstones"]
@@ -626,7 +663,7 @@ def batch_phrase_search(
             deleted_bc = spark.sparkContext.broadcast(tpayload)
         elif tmode == "df":
             tombs_df = tpayload
-    if prune:
+    if _resolve_prune(prune, seg_path):
         segments = _prune_blocks_for_queries(
             segments, [(str(q), list(t)) for q, t in queries]
         )

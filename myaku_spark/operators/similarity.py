@@ -371,6 +371,55 @@ def cluster_sample(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    centroids,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): assign every vector to its nearest centroid,
+    then WITHIN each cluster drop any vector whose cosine similarity
+    to a lower-id cluster-mate meets the threshold. The paper keeps a
+    random exemplar per semantic-duplicate group; here the lowest id
+    survives, so re-runs, resumes, and the relational oracle agree
+    exactly.
+
+    Returns (id, cluster, kept) for EVERY input row — callers filter
+    ``kept`` to materialize the deduplicated set, or invert it to
+    audit what was removed.
+
+    Scale shape: the pairwise cosine check is confined to
+    cluster-mates — a self-equi-join on the cluster id, never an
+    all-pairs product. The operative knob at 100 TB is the centroid
+    count: SemDeDup runs with tens of thousands of clusters, so the
+    largest cluster (the join's skew bound) stays ~n/k. Cosine is a
+    JVM-side zip_with/aggregate fold; the threshold compares the
+    4-dp-rounded value (same recipe as embedding_near_dup_pairs) so
+    the boundary is engine-independent.
+    """
+    asg = kmeans_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
+    vecs = emb.select(id_col, vec_col).join(asg, id_col)
+    left = vecs.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "cluster"
+    )
+    right = vecs.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "cluster"
+    )
+    pairs = left.join(right, "cluster").filter(F.col("id_a") < F.col("id_b"))
+    cos = _dot("va", "vb") / (_norm("va") * _norm("vb"))
+    dups = (
+        pairs.filter(F.round(cos, 4) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return asg.join(dups, id_col, "left").select(
+        id_col, "cluster", F.col("_dup").isNull().alias("kept")
+    )
+
+
 # --- Product quantization (IVF-PQ-style ADC) ---------------------------------
 
 

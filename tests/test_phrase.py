@@ -485,6 +485,7 @@ def test_batch_phrase_prune_drops_blocks_and_preserves_results(spark):
     # via a small block_doc_range), rare terms clustered in narrow
     # doc-id bands — the prune must drop most of the head term's blocks
     # for the batch while leaving results identical.
+    import myaku_spark.operators.phrase as _ph
     from myaku_spark.operators.phrase import (
         _prune_blocks_for_queries,
         batch_phrase_search,
@@ -523,27 +524,38 @@ def test_batch_phrase_prune_drops_blocks_and_preserves_results(spark):
     all_terms = sorted({t for _, ts in queries for t in ts})
     base = segs.filter(F.col("term").isin(all_terms))
     n_unpruned = base.count()
-    n_pruned = _prune_blocks_for_queries(base, queries).count()
-    assert n_pruned < n_unpruned  # head-term blocks actually dropped
-    # "the" spans 200/16 ≈ 13 blocks; the two rare bands overlap ≤ 2 of
-    # them (plus the rare terms' own blocks).
-    assert n_pruned <= 6
+    # The small-volume guard would (correctly) skip pruning on a corpus
+    # this size — force it off to exercise the prune machinery itself.
+    old_guard = _ph.PRUNE_MIN_POSTINGS
+    _ph.PRUNE_MIN_POSTINGS = 0
+    try:
+        n_pruned = _prune_blocks_for_queries(base, queries).count()
+        assert n_pruned < n_unpruned  # head-term blocks actually dropped
+        # "the" spans 200/16 ≈ 13 blocks; the two rare bands overlap ≤ 2
+        # of them (plus the rare terms' own blocks).
+        assert n_pruned <= 6
 
-    def rows(prune):
-        out = {}
-        for r in batch_phrase_search(
-            spark, segs, queries, k=100, gap=1, prune=prune
-        ).collect():
-            out.setdefault(r.query_id, {})[r.doc_id] = (
-                r.phrase_tf, list(r.match_starts)
-            )
-        return out
+        def rows(prune):
+            out = {}
+            for r in batch_phrase_search(
+                spark, segs, queries, k=100, gap=1, prune=prune
+            ).collect():
+                out.setdefault(r.query_id, {})[r.doc_id] = (
+                    r.phrase_tf, list(r.match_starts)
+                )
+            return out
 
-    got_p, got_u = rows(True), rows(False)
+        got_p, got_u = rows(True), rows(False)
+    finally:
+        _ph.PRUNE_MIN_POSTINGS = old_guard
     assert got_p == got_u
     assert "q3" not in got_p
     assert set(got_p["q1"]) == set(range(20, 24))
     assert set(got_p["q2"]) == set(range(150, 153))
+    # With the guard at its real setting this corpus skips the prune —
+    # segments pass through untouched, results still identical.
+    assert _prune_blocks_for_queries(base, queries) is base
+    assert rows(True) == got_u
     segs.unpersist()
 
 
@@ -555,21 +567,48 @@ def test_batch_phrase_prune_missing_all_and_headterm_queries(spark):
 
     segs = _segments_for(spark, DOCS).persist()
     base = segs.filter(F.col("term").isin(["a", "b"]))
-    # Single-term query → keep_all path, no range join.
-    kept = ph._prune_blocks_for_queries(base, [("q", ["a"])])
-    assert kept.count() == base.filter(F.col("term") == "a").count()
-    # Rare term exceeding the block budget → keep_all for that query.
-    old = ph.MAX_RANGE_BLOCKS
-    ph.MAX_RANGE_BLOCKS = 0
+    old_guard = ph.PRUNE_MIN_POSTINGS
+    ph.PRUNE_MIN_POSTINGS = 0  # force past the small-volume skip
     try:
-        kept2 = ph._prune_blocks_for_queries(base, [("q", ["a", "b"])])
-        assert kept2.count() == base.count()
+        # Single-term query → keep_all path, no range join.
+        kept = ph._prune_blocks_for_queries(base, [("q", ["a"])])
+        assert kept.count() == base.filter(F.col("term") == "a").count()
+        # Rare term exceeding the block budget → keep_all for that query.
+        old = ph.MAX_RANGE_BLOCKS
+        ph.MAX_RANGE_BLOCKS = 0
+        try:
+            kept2 = ph._prune_blocks_for_queries(base, [("q", ["a", "b"])])
+            assert kept2.count() == base.count()
+        finally:
+            ph.MAX_RANGE_BLOCKS = old
+        # Every query names an absent term → nothing decodes.
+        none = ph._prune_blocks_for_queries(base, [("q", ["a", "zz"])])
+        assert none.count() == 0
     finally:
-        ph.MAX_RANGE_BLOCKS = old
-    # Every query names an absent term → nothing decodes.
-    none = ph._prune_blocks_for_queries(base, [("q", ["a", "zz"])])
-    assert none.count() == 0
+        ph.PRUNE_MIN_POSTINGS = old_guard
     segs.unpersist()
+
+
+def test_phrase_prune_auto_footprint(tmp_path):
+    # prune="auto" resolves via the on-disk footprint probe: tiny local
+    # segment dirs skip the prune, big (or unprobeable) ones keep it.
+    import myaku_spark.operators.phrase as ph
+
+    assert ph._resolve_prune(True, None) is True
+    assert ph._resolve_prune(False, "/nonexistent") is False
+    assert ph._resolve_prune("auto", None) is True  # DataFrame source
+    small = tmp_path / "segs"
+    small.mkdir()
+    (small / "part-0.parquet").write_bytes(b"x" * 1024)
+    assert ph._resolve_prune("auto", str(small)) is False
+    old = ph.PRUNE_MIN_SEGMENT_BYTES
+    ph.PRUNE_MIN_SEGMENT_BYTES = 512
+    try:
+        assert ph._resolve_prune("auto", str(small)) is True
+    finally:
+        ph.PRUNE_MIN_SEGMENT_BYTES = old
+    # absent dir (non-listable store) assumes large: prune stays on
+    assert ph._resolve_prune("auto", str(tmp_path / "missing")) is True
 
 
 def test_batch_phrase_gate_modes_identical(spark):

@@ -461,6 +461,79 @@ def test_kmeans_matches_numpy_twin(spark):
     assert len({out[i] for i in range(80, 120)}) == 1
 
 
+def test_semantic_dedup_matches_numpy_twin(spark):
+    import numpy as np
+
+    from myaku_spark.operators.similarity import kmeans_fit, semantic_dedup
+
+    rng = np.random.RandomState(7)
+    # two separated blobs + planted near-duplicates: exact copies,
+    # positively-scaled copies (cosine 1, different radius), and a
+    # tiny-jitter copy (cosine ~0.9999)
+    base = np.vstack(
+        [rng.randn(30, 8) + 10.0, rng.randn(30, 8) - 10.0]
+    ).round(3)
+    rows = [(i, base[i]) for i in range(len(base))]
+    rows += [(1000 + i, base[i].copy()) for i in range(5)]  # exact
+    rows += [(2000 + i, (base[i] * 1.5).round(3)) for i in range(5)]
+    rows += [
+        (3000 + i, (base[i] + rng.randn(8) * 1e-3).round(6))
+        for i in range(5)
+    ]
+    ids = [i for i, _ in rows]
+    X = np.array([v for _, v in rows], dtype=np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+    k, iters, tau = 2, 3, 0.98
+    cents = kmeans_fit(df, k=k, iters=iters)
+    out = {
+        r.vec_id: (r.cluster, r.kept)
+        for r in semantic_dedup(df, cents, threshold=tau).collect()
+    }
+    assert set(out) == set(ids)
+
+    # twin: numpy assignment under the fitted centroids, then the
+    # same lower-id-mate rule on 4-dp-rounded cosine
+    C = np.asarray(cents)
+    d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    a = d.argmin(axis=1)
+    norms = np.sqrt((X * X).sum(axis=1))
+    for j, vid in enumerate(ids):
+        assert out[vid][0] == a[j], vid
+        dup = any(
+            ids[i] < vid
+            and a[i] == a[j]
+            and round((X[i] @ X[j]) / (norms[i] * norms[j]), 4) >= tau
+            for i in range(len(ids))
+        )
+        assert out[vid][1] == (not dup), vid
+
+    # the planted twins were dropped (their lower-id source is an exact
+    # or near-exact cosine match in the same cluster). NOTE: the blob
+    # sources themselves may legitimately dedup against one another — a
+    # randn blob centered at +10 has mutual cosine ≈ 0.99, which is the
+    # regime SemDeDup targets — so "source kept" is NOT asserted.
+    for i in range(5):
+        assert out[1000 + i][1] is False
+        assert out[3000 + i][1] is False
+    # scaled copies share the cosine but sit at a different radius —
+    # dropped whenever euclidean assignment kept them with their source
+    for i in range(5):
+        if out[2000 + i][0] == out[i][0]:
+            assert out[2000 + i][1] is False
+    # the lowest id in every cluster has no lower-id mate: always kept
+    by_cluster: dict = {}
+    for vid in ids:
+        cl = out[vid][0]
+        by_cluster.setdefault(cl, []).append(vid)
+    for cl, members in by_cluster.items():
+        assert out[min(members)][1] is True
+    # and something was actually dropped (non-vacuous)
+    assert any(not kept for _, kept in out.values())
+
+
 def test_bigram_lm_matches_python_twin(spark):
     import math
 
