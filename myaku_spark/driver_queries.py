@@ -2293,6 +2293,33 @@ def q_substring_spans(spark, sf_dir):
     return repeated_substring_spans(docs, min_len=SUBSTR_L)
 
 
+LD_MIN_DOCS = 5   # line-dedup gate: distinct docs a line must appear in
+LD_MIN_LEN = 10   # line-dedup gate: minimum line length considered
+LD_FOOTER = "SPONSORED CONTENT - SUBSCRIBE TO OUR NEWSLETTER TODAY"
+
+
+def q_line_dedup(spark, sf_dir):
+    """Line-level corpus dedup gate (RefinedWeb/CCNet line filter): a
+    deterministic boilerplate footer is appended to docs 0-49 on BOTH
+    engines, so the cross-document line-frequency count, the excision,
+    and the in-order text rebuild are all value-checked; natural
+    cross-doc duplicate lines (if any) dedup identically too."""
+    from myaku_spark.operators.dedup import strip_common_lines
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") < 50,
+            F.concat(F.col("text"), F.lit("\n" + LD_FOOTER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return strip_common_lines(
+        docs, min_docs=LD_MIN_DOCS, min_len=LD_MIN_LEN
+    )
+
+
 QUERIES = {
     # The driver's correctness gate reports the first 50 entries in dict
     # order; with 65 queries the surface is rotated round-to-round so every
@@ -2320,6 +2347,7 @@ QUERIES = {
     "fuzzy_terms": q_fuzzy_terms,
     "substring_spans": q_substring_spans,
     "semantic_dedup": q_semantic_dedup,
+    "line_dedup": q_line_dedup,
     # Previously-reported keys follow in their r4 order; the last 16 of
     # them rotate out of this round's window (all green in
     # CORRECTNESS_r04.json).
@@ -3401,6 +3429,40 @@ FROM m{KM_ITERS}sd m LEFT JOIN dupssd d USING (vec_id)
 
 
 ORACLE["semantic_dedup"] = _semdedup_sql()
+
+
+ORACLE["line_dedup"] = f"""
+WITH seeded AS (
+  SELECT doc_id,
+         CASE WHEN doc_id < 50
+              THEN text || chr(10) || '{LD_FOOTER}'
+              ELSE text END AS text
+  FROM documents
+),
+ln AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM seeded
+),
+freq AS (
+  SELECT line, count(DISTINCT doc_id) AS line_df
+  FROM ln WHERE length(line) >= {LD_MIN_LEN}
+  GROUP BY line
+),
+common AS (SELECT line FROM freq WHERE line_df >= {LD_MIN_DOCS}),
+marked AS (
+  SELECT l.doc_id, l.pos, l.line, (c.line IS NOT NULL) AS is_common
+  FROM ln l LEFT JOIN common c USING (line)
+)
+SELECT doc_id,
+       coalesce(string_agg(line, chr(10) ORDER BY pos)
+                FILTER (WHERE NOT is_common), '') AS text,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN is_common THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed
+FROM marked GROUP BY doc_id
+"""
 
 
 def _pq_sql() -> str:

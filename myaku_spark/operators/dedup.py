@@ -450,6 +450,74 @@ def boilerplate_ngrams(
     )
 
 
+def strip_common_lines(
+    docs: DataFrame,
+    min_docs: int = 5,
+    min_len: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Line-level corpus dedup (the RefinedWeb/CCNet line filter): a
+    line occurring in >= ``min_docs`` DISTINCT documents is boilerplate
+    (nav bars, footers, licence blurbs, "sponsored content" rows) and
+    is excised from every document; lines shorter than ``min_len``
+    characters are exempt — blank lines and punctuation rows co-occur
+    everywhere by chance and carry document structure. Returns
+    (id, text, n_lines, n_removed) with text rebuilt from the
+    surviving lines in original order.
+
+    Scale shape: lines explode from a newline split; the doc-frequency
+    count is a per-doc distinct + one groupBy(line) aggregation
+    (map-side combined); the common flag rides back on a shuffle
+    equi-join on the line key; reassembly is one groupBy(doc) with an
+    in-group array_sort — no windows over the corpus, no driver state.
+    Super-common lines are the hot join keys, but they fan out only to
+    the docs that contain them (the same rows the scan already holds),
+    and AQE splits the genuinely hot ones."""
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    freq = (
+        lines.filter(F.length("line") >= min_len)
+        .select("doc_id", "line")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("line_df"))
+    )
+    common = freq.filter(F.col("line_df") >= min_docs).select(
+        "line", F.lit(True).alias("_common")
+    )
+    # short lines never join (every common line is >= min_len chars)
+    marked = lines.join(common, "line", "left")
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_common").isNull(),
+                                F.struct("pos", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias(text_col),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.col("_common").isNotNull().cast("int"))
+            .cast("long")
+            .alias("n_removed"),
+        )
+        .select(
+            F.col("doc_id").alias(id_col), text_col, "n_lines", "n_removed"
+        )
+    )
+
+
 def repeated_substring_spans(
     docs: DataFrame,
     min_len: int = 50,

@@ -461,6 +461,46 @@ def test_kmeans_matches_numpy_twin(spark):
     assert len({out[i] for i in range(80, 120)}) == 1
 
 
+def test_strip_common_lines_twin(spark):
+    from collections import Counter
+
+    from myaku_spark.operators.dedup import strip_common_lines
+
+    footer = "COMMON FOOTER LINE FOR EVERY PAGE"
+    docs = []
+    for d in range(12):
+        body = [f"unique line {d} alpha", f"unique line {d} beta"]
+        if d < 8:
+            body.append(footer)
+        if d % 2 == 0:
+            body.append("hi")  # short line: exempt even though common
+        docs.append((d, "\n".join(body)))
+    docs.append((99, footer))  # doc that is ONLY boilerplate
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in strip_common_lines(df, min_docs=5, min_len=10).collect()
+    }
+
+    texts = dict(docs)
+    freq = Counter()
+    for d, t in texts.items():
+        for ln in {l for l in t.split("\n") if len(l) >= 10}:
+            freq[ln] += 1
+    common = {l for l, c in freq.items() if c >= 5}
+    assert footer in common
+    for d, t in texts.items():
+        lines = t.split("\n")
+        kept = [l for l in lines if l not in common]
+        assert out[d].text == "\n".join(kept), d
+        assert out[d].n_lines == len(lines)
+        assert out[d].n_removed == len(lines) - len(kept)
+    # the footer was excised everywhere; short common lines survive
+    assert all(footer not in out[d].text for d in texts)
+    assert out[0].text.endswith("hi")
+    assert out[99].text == ""
+
+
 def test_semantic_dedup_matches_numpy_twin(spark):
     import numpy as np
 
