@@ -2322,7 +2322,7 @@ def q_line_dedup(spark, sf_dir):
 
 QUERIES = {
     # The driver's correctness gate reports the first 50 entries in dict
-    # order; with 65 queries the surface is rotated round-to-round so every
+    # order; with 70 queries the surface is rotated round-to-round so every
     # key gets an externally-verified row on a recorded cadence (the
     # per-round report matrix lives in COVERAGE.md §driver-report-ledger).
     # These 15 were green-but-unreported in CORRECTNESS_r04 (independently

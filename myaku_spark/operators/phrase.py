@@ -286,7 +286,9 @@ def _merge_intervals(ivs: list[tuple[int, int]]) -> list[tuple[int, int]]:
 
 
 def _prune_blocks_for_queries(
-    segments: DataFrame, queries: list[tuple[str, list[str]]]
+    segments: DataFrame,
+    queries: list[tuple[str, list[str]]],
+    min_postings: int | None = None,
 ) -> DataFrame:
     """Per-query conjunctive block prune (r4 verdict #1 — the measured
     batch-phrase scale-killer): any doc matching query q appears in q's
@@ -305,14 +307,23 @@ def _prune_blocks_for_queries(
     queries. Queries over the budget (or whose rare term exceeds
     MAX_RANGE_BLOCKS) keep all their terms' blocks; queries with a
     term entirely absent from the index contribute nothing (conjunctive
-    contract: they cannot match)."""
+    contract: they cannot match).
+
+    ``min_postings`` (default PRUNE_MIN_POSTINGS) short-circuits to
+    the unpruned segments when the batch's total posting volume is
+    already below it — there, decode-all beats the prune's remaining
+    stages. Callers forcing the prune (prune=True at the search entry
+    points) pass 0, which also restores the absent-term and keep_all
+    behaviors unconditionally."""
     stats = {
         r.term: (int(r.tp), int(r.nb))
         for r in segments.groupBy("term").agg(
             F.sum("n_postings").alias("tp"), F.count(F.lit(1)).alias("nb")
         ).collect()
     }
-    if sum(tp for tp, _ in stats.values()) <= PRUNE_MIN_POSTINGS:
+    if min_postings is None:
+        min_postings = PRUNE_MIN_POSTINGS
+    if sum(tp for tp, _ in stats.values()) <= min_postings:
         return segments  # decode-all beats the prune's remaining stages
     keep_all: set[str] = set()
     # query terms keyed by their rare term, cheapest rare term first so
@@ -411,10 +422,13 @@ def phrase_search(
     footprint crossover where decode-all is cheaper."""
     deleted_bc = None
     tombs_df = None
+    forced_min = 0 if prune is True else None  # True means PRUNE
     if isinstance(source, DataFrame):
         segments = source.filter(F.col("term").isin(list(terms)))
         if _resolve_prune(prune, None):
-            segments = _prune_blocks_for_queries(segments, [("q", list(terms))])
+            segments = _prune_blocks_for_queries(
+                segments, [("q", list(terms))], min_postings=forced_min
+            )
     else:
         from myaku_spark.operators.segments import read_term_segments
         from myaku_spark.plans import catalog
@@ -423,7 +437,9 @@ def phrase_search(
         _, paths = catalog.resolve(source)
         segments = read_term_segments(spark, paths["segments"], list(terms))
         if _resolve_prune(prune, paths["segments"]):
-            segments = _prune_blocks_for_queries(segments, [("q", list(terms))])
+            segments = _prune_blocks_for_queries(
+                segments, [("q", list(terms))], min_postings=forced_min
+            )
         tmode, tpayload = resolve_tombstones(
             spark, source, path=paths["tombstones"]
         )
@@ -665,7 +681,9 @@ def batch_phrase_search(
             tombs_df = tpayload
     if _resolve_prune(prune, seg_path):
         segments = _prune_blocks_for_queries(
-            segments, [(str(q), list(t)) for q, t in queries]
+            segments,
+            [(str(q), list(t)) for q, t in queries],
+            min_postings=0 if prune is True else None,  # True = force
         )
     postings = decode_postings(segments, deleted=deleted_bc)
     if tombs_df is not None:

@@ -398,8 +398,16 @@ def semantic_dedup(
     JVM-side zip_with/aggregate fold; the threshold compares the
     4-dp-rounded value (same recipe as embedding_near_dup_pairs) so
     the boundary is engine-independent.
+
+    The (id, cluster) assignment is persisted (two longs per row) so
+    the O(n·k·dim) assignment pass runs ONCE across its three plan
+    branches (both self-join sides + the output) instead of three
+    times; callers processing huge corpora can unpersist after
+    materializing the result.
     """
-    asg = kmeans_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
+    asg = kmeans_assign(
+        emb, centroids, id_col=id_col, vec_col=vec_col
+    ).persist()
     vecs = emb.select(id_col, vec_col).join(asg, id_col)
     left = vecs.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "cluster"

@@ -485,7 +485,6 @@ def test_batch_phrase_prune_drops_blocks_and_preserves_results(spark):
     # via a small block_doc_range), rare terms clustered in narrow
     # doc-id bands — the prune must drop most of the head term's blocks
     # for the batch while leaving results identical.
-    import myaku_spark.operators.phrase as _ph
     from myaku_spark.operators.phrase import (
         _prune_blocks_for_queries,
         batch_phrase_search,
@@ -525,37 +524,36 @@ def test_batch_phrase_prune_drops_blocks_and_preserves_results(spark):
     base = segs.filter(F.col("term").isin(all_terms))
     n_unpruned = base.count()
     # The small-volume guard would (correctly) skip pruning on a corpus
-    # this size — force it off to exercise the prune machinery itself.
-    old_guard = _ph.PRUNE_MIN_POSTINGS
-    _ph.PRUNE_MIN_POSTINGS = 0
-    try:
-        n_pruned = _prune_blocks_for_queries(base, queries).count()
-        assert n_pruned < n_unpruned  # head-term blocks actually dropped
-        # "the" spans 200/16 ≈ 13 blocks; the two rare bands overlap ≤ 2
-        # of them (plus the rare terms' own blocks).
-        assert n_pruned <= 6
+    # this size — min_postings=0 (what prune=True forces at the entry
+    # points) exercises the prune machinery itself.
+    n_pruned = _prune_blocks_for_queries(
+        base, queries, min_postings=0
+    ).count()
+    assert n_pruned < n_unpruned  # head-term blocks actually dropped
+    # "the" spans 200/16 ≈ 13 blocks; the two rare bands overlap ≤ 2 of
+    # them (plus the rare terms' own blocks).
+    assert n_pruned <= 6
 
-        def rows(prune):
-            out = {}
-            for r in batch_phrase_search(
-                spark, segs, queries, k=100, gap=1, prune=prune
-            ).collect():
-                out.setdefault(r.query_id, {})[r.doc_id] = (
-                    r.phrase_tf, list(r.match_starts)
-                )
-            return out
+    def rows(prune):
+        out = {}
+        for r in batch_phrase_search(
+            spark, segs, queries, k=100, gap=1, prune=prune
+        ).collect():
+            out.setdefault(r.query_id, {})[r.doc_id] = (
+                r.phrase_tf, list(r.match_starts)
+            )
+        return out
 
-        got_p, got_u = rows(True), rows(False)
-    finally:
-        _ph.PRUNE_MIN_POSTINGS = old_guard
-    assert got_p == got_u
+    # prune=True FORCES the prune (guard bypassed); "auto" on a
+    # DataFrame source reaches the guard, which skips at this volume.
+    got_p, got_u, got_a = rows(True), rows(False), rows("auto")
+    assert got_p == got_u == got_a
     assert "q3" not in got_p
     assert set(got_p["q1"]) == set(range(20, 24))
     assert set(got_p["q2"]) == set(range(150, 153))
-    # With the guard at its real setting this corpus skips the prune —
-    # segments pass through untouched, results still identical.
+    # With the guard at its default this corpus skips the prune —
+    # segments pass through untouched.
     assert _prune_blocks_for_queries(base, queries) is base
-    assert rows(True) == got_u
     segs.unpersist()
 
 
@@ -567,25 +565,26 @@ def test_batch_phrase_prune_missing_all_and_headterm_queries(spark):
 
     segs = _segments_for(spark, DOCS).persist()
     base = segs.filter(F.col("term").isin(["a", "b"]))
-    old_guard = ph.PRUNE_MIN_POSTINGS
-    ph.PRUNE_MIN_POSTINGS = 0  # force past the small-volume skip
+    # min_postings=0 = the forced-prune path (what prune=True resolves
+    # to at the entry points), past the small-volume skip.
+    # Single-term query → keep_all path, no range join.
+    kept = ph._prune_blocks_for_queries(base, [("q", ["a"])], min_postings=0)
+    assert kept.count() == base.filter(F.col("term") == "a").count()
+    # Rare term exceeding the block budget → keep_all for that query.
+    old = ph.MAX_RANGE_BLOCKS
+    ph.MAX_RANGE_BLOCKS = 0
     try:
-        # Single-term query → keep_all path, no range join.
-        kept = ph._prune_blocks_for_queries(base, [("q", ["a"])])
-        assert kept.count() == base.filter(F.col("term") == "a").count()
-        # Rare term exceeding the block budget → keep_all for that query.
-        old = ph.MAX_RANGE_BLOCKS
-        ph.MAX_RANGE_BLOCKS = 0
-        try:
-            kept2 = ph._prune_blocks_for_queries(base, [("q", ["a", "b"])])
-            assert kept2.count() == base.count()
-        finally:
-            ph.MAX_RANGE_BLOCKS = old
-        # Every query names an absent term → nothing decodes.
-        none = ph._prune_blocks_for_queries(base, [("q", ["a", "zz"])])
-        assert none.count() == 0
+        kept2 = ph._prune_blocks_for_queries(
+            base, [("q", ["a", "b"])], min_postings=0
+        )
+        assert kept2.count() == base.count()
     finally:
-        ph.PRUNE_MIN_POSTINGS = old_guard
+        ph.MAX_RANGE_BLOCKS = old
+    # Every query names an absent term → nothing decodes.
+    none = ph._prune_blocks_for_queries(
+        base, [("q", ["a", "zz"])], min_postings=0
+    )
+    assert none.count() == 0
     segs.unpersist()
 
 
