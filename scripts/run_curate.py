@@ -38,12 +38,20 @@ def main() -> None:
     ap.add_argument("--default-rate", type=float, default=1.0)
     ap.add_argument("--salt", default="cur0")
     ap.add_argument(
+        "--strip-common-lines", type=int, default=0, metavar="MIN_DOCS",
+        help="pre-funnel line-level dedup (RefinedWeb line filter): "
+             "excise lines appearing in >= MIN_DOCS distinct docs "
+             "before any quality stage runs; 0 (default) = off",
+    )
+    ap.add_argument(
         "--out-format", default="parquet", choices=["parquet", "jsonl"],
         help="jsonl = one JSON doc per line (the standard training-data "
              "delivery format; Spark's json sink is line-delimited)",
     )
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
+
+    from pyspark.sql import functions as F
 
     from myaku_spark.operators.lm import train_bigram_lm
     from myaku_spark.plans.curate import curate, curate_flags, curate_metrics
@@ -52,6 +60,21 @@ def main() -> None:
     spark = get_spark("run_curate", parallelism=args.cpus)
     t0 = time.time()
     docs = spark.read.parquet(args.docs)
+    lines_removed = None
+    if args.strip_common_lines > 0:
+        from myaku_spark.operators.dedup import strip_common_lines
+
+        cleaned = strip_common_lines(
+            docs, min_docs=args.strip_common_lines
+        ).persist()
+        lines_removed = cleaned.agg(
+            F.sum("n_removed").cast("long").alias("n")
+        ).collect()[0].n
+        # cleaned text rides back onto the full row (other columns —
+        # source etc. — feed later funnel stages)
+        docs = docs.drop("text").join(
+            cleaned.select("doc_id", "text"), "doc_id"
+        )
     lm = train_bigram_lm(docs)
     flags = curate_flags(
         docs,
@@ -72,6 +95,8 @@ def main() -> None:
         curated.write.mode("overwrite").parquet(docs_out)
     funnel = curate_metrics(flags).collect()
     flags.unpersist()
+    if args.strip_common_lines > 0:
+        cleaned.unpersist()
     lm.release()
     spark.createDataFrame(
         funnel, "stage_idx int, stage string, n_docs long"
@@ -80,6 +105,7 @@ def main() -> None:
         json.dumps(
             {
                 "stages": {r.stage: r.n_docs for r in funnel},
+                "lines_removed": lines_removed,
                 "wall_sec": round(time.time() - t0, 3),
                 "out": args.out,
             }
