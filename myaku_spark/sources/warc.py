@@ -1,0 +1,198 @@
+"""WARC ingestion — the Common Crawl / web-archive landing format.
+
+A WARC file (ISO 28500) is a sequence of records:
+
+    WARC/1.0\\r\\n
+    WARC-Type: response\\r\\n
+    WARC-Target-URI: http://...\\r\\n
+    WARC-Date: 2024-01-01T00:00:00Z\\r\\n
+    Content-Length: N\\r\\n
+    \\r\\n
+    <N bytes block>\\r\\n\\r\\n
+
+where a response record's block is the raw HTTP exchange (status line
++ headers + body). ``read_warc`` lands every record as a DataFrame
+row; ``warc_to_pages`` projects the 2xx responses onto the pages
+schema (url, warc_ts, html, text, lang) so the whole crawl→index
+pipeline runs straight off an archive shard.
+
+Scale shape: one task per WARC file via Spark's binaryFile source —
+Common Crawl shards (~1 GB .warc.gz) are the standard unit of
+parallelism, and a 100 TB crawl is ~100k independent file tasks.
+Parsing is one mapInPandas pass with stdlib-only gzip/byte handling;
+record framing walks Content-Length (never splits on payload bytes).
+Gzipped archives are member-per-record concatenated gzip streams,
+which GzipFile decodes as one logical stream.
+
+No counterpart in the reference: NickMcL/Myaku crawls live sites
+(myaku/crawlers/) and never lands archives; this is the batch-scale
+ingestion surface a Spark deployment of the same pipeline needs.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import gzip
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WARC_SCHEMA = (
+    "warc_path string, url string, warc_ts timestamp, warc_type string,"
+    " http_status int, content_type string, body binary"
+)
+
+
+def warc_record_bytes(
+    url: str,
+    ts: str,
+    body: bytes,
+    warc_type: str = "response",
+    http_status: int = 200,
+    content_type: str = "text/html; charset=utf-8",
+) -> bytes:
+    """One serialized WARC record (response records wrap ``body`` in a
+    minimal HTTP exchange). Building block for tests and for archiving
+    synthesized corpora; gzip each record separately and concatenate
+    for the standard member-per-record ``.warc.gz`` layout."""
+    if warc_type == "response":
+        http = (
+            f"HTTP/1.1 {http_status} OK\r\n"
+            f"Content-Type: {content_type}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode("latin-1") + body
+    else:
+        http = body
+    head = [f"WARC/1.0", f"WARC-Type: {warc_type}"]
+    if url:
+        head.append(f"WARC-Target-URI: {url}")
+    head.append(f"WARC-Date: {ts}")
+    head.append(f"Content-Length: {len(http)}")
+    return (
+        ("\r\n".join(head) + "\r\n\r\n").encode("latin-1")
+        + http
+        + b"\r\n\r\n"
+    )
+
+
+def _parse_warc_ts(ts: str | None):
+    if not ts:
+        return None
+    try:
+        d = dt.datetime.fromisoformat(ts.replace("Z", "+00:00"))
+    except ValueError:
+        return None
+    if d.tzinfo is not None:
+        d = d.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    return d
+
+
+def parse_warc_records(path: str, data: bytes) -> list[tuple]:
+    """All records of one WARC payload as WARC_SCHEMA tuples. Framing
+    walks Content-Length; a malformed header terminates the file scan
+    (truncated shard) rather than mis-framing subsequent records."""
+    if path.endswith(".gz") or data[:2] == b"\x1f\x8b":
+        data = gzip.decompress(data)
+    out: list[tuple] = []
+    pos, n = 0, len(data)
+    while pos < n:
+        while data.startswith(b"\r\n", pos):
+            pos += 2
+        if pos >= n:
+            break
+        hdr_end = data.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            break
+        lines = data[pos:hdr_end].decode("utf-8", "replace").split("\r\n")
+        if not lines[0].startswith("WARC/"):
+            break
+        h: dict[str, str] = {}
+        for ln in lines[1:]:
+            k, _, v = ln.partition(":")
+            h[k.strip().lower()] = v.strip()
+        try:
+            clen = int(h.get("content-length", ""))
+        except ValueError:
+            break
+        block = data[hdr_end + 4 : hdr_end + 4 + clen]
+        pos = hdr_end + 4 + clen
+        wtype = h.get("warc-type", "")
+        status = None
+        ctype = None
+        body = block
+        if wtype in ("response", "revisit") and block.startswith(b"HTTP/"):
+            hh_end = block.find(b"\r\n\r\n")
+            if hh_end >= 0:
+                http_lines = (
+                    block[:hh_end].decode("latin-1", "replace").split("\r\n")
+                )
+                body = block[hh_end + 4 :]
+                parts = http_lines[0].split()
+                if len(parts) >= 2 and parts[1].isdigit():
+                    status = int(parts[1])
+                for ln in http_lines[1:]:
+                    k, _, v = ln.partition(":")
+                    if k.strip().lower() == "content-type":
+                        ctype = v.strip()
+        out.append(
+            (
+                path,
+                h.get("warc-target-uri"),
+                _parse_warc_ts(h.get("warc-date")),
+                wtype,
+                status,
+                ctype,
+                body,
+            )
+        )
+    return out
+
+
+def read_warc(
+    spark: SparkSession, path: str, pattern: str = "*.warc*"
+) -> DataFrame:
+    """Every WARC record under ``path`` (dir or file; plain or .gz) as
+    (warc_path, url, warc_ts, warc_type, http_status, content_type,
+    body). One file = one task; parsing stays in the executors."""
+    reader = spark.read.format("binaryFile")
+    if pattern:
+        reader = reader.option("pathGlobFilter", pattern)
+    files = reader.load(path).select("path", "content")
+
+    def gen(it):
+        import pandas as pd
+
+        cols = [
+            "warc_path", "url", "warc_ts", "warc_type",
+            "http_status", "content_type", "body",
+        ]
+        for pdf in it:
+            rows: list[tuple] = []
+            for p, c in zip(pdf["path"], pdf["content"]):
+                rows.extend(parse_warc_records(str(p), bytes(c)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(gen, WARC_SCHEMA)
+
+
+def warc_to_pages(warc: DataFrame) -> DataFrame:
+    """2xx response records → the pages landing schema. ``text`` lands
+    NULL (extraction fills it downstream — build_index coalesces its
+    own extraction first, and a NULL fallback keeps the storability
+    filter's drop semantics for unextractable pages); ``lang`` lands
+    '' until language ID runs."""
+    return (
+        warc.filter(
+            (F.col("warc_type") == "response")
+            & F.col("url").isNotNull()
+            & F.col("warc_ts").isNotNull()
+            & F.col("http_status").between(200, 299)
+        )
+        .select(
+            "url",
+            "warc_ts",
+            F.col("body").alias("html"),
+            F.lit(None).cast("string").alias("text"),
+            F.lit("").alias("lang"),
+        )
+    )

@@ -1,0 +1,132 @@
+"""WARC ingestion: record framing, gzip members, pages projection, and
+extraction parity with the native pages table (cites the synthesis in
+sources/pages.py — the reference's crawlers never land archives, so the
+oracle here is the repo's own deterministic corpus)."""
+
+import gzip
+
+from myaku_spark.sources.warc import (
+    read_warc,
+    warc_record_bytes,
+    warc_to_pages,
+)
+
+
+def _shard_records():
+    return [
+        warc_record_bytes(
+            "", "2026-01-01T00:00:00Z", b"software: test",
+            warc_type="warcinfo",
+        ),
+        warc_record_bytes(
+            "http://a.example/1", "2026-01-01T00:00:01Z",
+            "<html>A</html>".encode(),
+        ),
+        warc_record_bytes(
+            "http://a.example/404", "2026-01-01T00:00:02Z", b"gone",
+            http_status=404,
+        ),
+        warc_record_bytes(
+            "http://a.example/2", "2026-01-01T00:00:03.250000Z",
+            "<html>B</html>".encode(),
+        ),
+    ]
+
+
+def test_warc_roundtrip_plain_and_gz(spark, tmp_path):
+    recs = _shard_records()
+    (tmp_path / "shard-00000.warc").write_bytes(b"".join(recs))
+    # standard member-per-record .warc.gz layout
+    (tmp_path / "shard-00001.warc.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in recs)
+    )
+
+    rows = read_warc(spark, str(tmp_path)).collect()
+    assert len(rows) == 8  # both shards parse identically
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.warc_path.rsplit("/", 1)[-1], []).append(r)
+    assert set(by_shard) == {"shard-00000.warc", "shard-00001.warc.gz"}
+    for shard_rows in by_shard.values():
+        info = [r for r in shard_rows if r.warc_type == "warcinfo"]
+        assert len(info) == 1
+        assert info[0].http_status is None and info[0].url is None
+        resp = {r.url: r for r in shard_rows if r.warc_type == "response"}
+        assert resp["http://a.example/1"].http_status == 200
+        assert bytes(resp["http://a.example/1"].body) == b"<html>A</html>"
+        assert resp["http://a.example/1"].content_type.startswith(
+            "text/html"
+        )
+        assert resp["http://a.example/404"].http_status == 404
+        # fractional-second WARC-Date survives
+        assert resp["http://a.example/2"].warc_ts.microsecond == 250_000
+
+    pages = warc_to_pages(read_warc(spark, str(tmp_path))).collect()
+    # 2 shards x 2 OK responses; the 404 and the warcinfo are dropped
+    assert len(pages) == 4
+    assert {r.url for r in pages} == {
+        "http://a.example/1", "http://a.example/2"
+    }
+    assert all(r.text is None and r.lang == "" for r in pages)
+    assert {bytes(r.html) for r in pages} == {
+        b"<html>A</html>", b"<html>B</html>"
+    }
+
+
+def test_warc_truncated_and_garbage_tails(spark, tmp_path):
+    good = warc_record_bytes(
+        "http://ok.example/", "2026-01-01T00:00:00Z", b"<html>ok</html>"
+    )
+    # garbage after a valid record: scan stops, the good record survives
+    (tmp_path / "g.warc").write_bytes(good + b"NOT-A-WARC-HEADER")
+    # header with an unparseable length: scan stops at that record
+    bad_len = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"Content-Length: nope\r\n\r\nxxx"
+    )
+    (tmp_path / "h.warc").write_bytes(good + bad_len)
+    rows = read_warc(spark, str(tmp_path)).collect()
+    ok = [r for r in rows if r.url == "http://ok.example/"]
+    assert len(ok) == 2 and all(r.http_status == 200 for r in ok)
+    assert len(rows) == 2  # neither tail produced a phantom record
+
+
+def test_warc_to_index_extraction_parity(spark, tmp_path):
+    # A synthesized corpus archived as one .warc.gz shard must extract
+    # byte-identically to the same corpus landed as a native pages
+    # table — the WARC path feeds the untouched P1-P5 pipeline.
+    from myaku_spark.plans.build_index import extract_and_dedupe
+    from myaku_spark.sources.pages import synth_pages_df
+
+    pages = synth_pages_df(spark, 30, partitions=2)
+    rows = pages.collect()
+    shard = b"".join(
+        gzip.compress(
+            warc_record_bytes(
+                r.url, r.warc_ts.isoformat() + "Z", bytes(r.html)
+            )
+        )
+        for r in rows
+    )
+    (tmp_path / "cc-00000.warc.gz").write_bytes(shard)
+
+    from_warc = warc_to_pages(read_warc(spark, str(tmp_path)))
+    assert from_warc.count() == 30
+    got_ts = {
+        r.url: r.warc_ts
+        for r in from_warc.select("url", "warc_ts").collect()
+    }
+    assert got_ts == {r.url: r.warc_ts for r in rows}
+
+    native = {
+        (r.url, r.text)
+        for r in extract_and_dedupe(pages).select("url", "text").collect()
+    }
+    archived = {
+        (r.url, r.text)
+        for r in extract_and_dedupe(from_warc)
+        .select("url", "text")
+        .collect()
+    }
+    assert native == archived
+    assert len(archived) > 0
