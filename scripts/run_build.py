@@ -28,6 +28,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", help="pages table path (parquet)")
+    ap.add_argument(
+        "--warc", help="WARC shard dir/file (Common Crawl landing) instead"
+    )
     ap.add_argument("--synth", type=int, help="synthesize N pages instead")
     ap.add_argument("--out", help="index output dir (temp when omitted)")
     ap.add_argument("--n-groups", type=int, default=2)
@@ -56,6 +59,10 @@ def main() -> None:
         pages = synth_pages_df(
             spark, args.synth, partitions=max(cpus, 8) * 2, paras=(lo, hi)
         )
+    elif args.warc:
+        from myaku_spark.sources.warc import read_warc, warc_to_pages
+
+        pages = warc_to_pages(read_warc(spark, args.warc))
     else:
         pages = read_pages(spark, args.pages)
 
