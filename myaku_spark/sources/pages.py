@@ -183,6 +183,10 @@ def read_pages(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFram
     downstream extraction sees identical bytes regardless of format."""
     if fmt == "iceberg":
         return spark.read.format("iceberg").load(path)
+    if fmt == "avro":
+        # external-but-bundled module in real distributions; the jar is
+        # absent in this sandbox (gated test, like iceberg)
+        return spark.read.format("avro").load(path)
     if fmt == "parquet":
         return spark.read.parquet(path)
     if fmt == "orc":
@@ -214,6 +218,8 @@ def read_pages(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFram
 def write_pages(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     if fmt == "iceberg":
         df.writeTo(path).createOrReplace()
+    elif fmt == "avro":
+        df.write.mode("overwrite").format("avro").save(path)
     elif fmt == "parquet":
         df.write.mode("overwrite").parquet(path)
     elif fmt == "orc":
