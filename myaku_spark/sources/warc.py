@@ -32,7 +32,6 @@ ingestion surface a Spark deployment of the same pipeline needs.
 from __future__ import annotations
 
 import datetime as dt
-import gzip
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -87,25 +86,90 @@ def _parse_warc_ts(ts: str | None):
     return d
 
 
-def parse_warc_records(path: str, data: bytes) -> list[tuple]:
-    """All records of one WARC payload as WARC_SCHEMA tuples. Framing
-    walks Content-Length; a malformed header terminates the file scan
-    (truncated shard) rather than mis-framing subsequent records."""
-    if path.endswith(".gz") or data[:2] == b"\x1f\x8b":
-        data = gzip.decompress(data)
-    out: list[tuple] = []
-    pos, n = 0, len(data)
-    while pos < n:
-        while data.startswith(b"\r\n", pos):
-            pos += 2
-        if pos >= n:
-            break
-        hdr_end = data.find(b"\r\n\r\n", pos)
-        if hdr_end < 0:
-            break
-        lines = data[pos:hdr_end].decode("utf-8", "replace").split("\r\n")
+def _gz_chunks(data: bytes, max_chunk: int = 1 << 20):
+    """Decompressed chunks of a (possibly multi-member) gzip payload.
+    Streaming: at most ``max_chunk`` of decompressed output exists per
+    step, so a 1 GB .warc.gz shard never materializes its ~5x inflated
+    text — the consumer frames records off the stream."""
+    import zlib
+
+    while data:
+        d = zlib.decompressobj(31)  # 31 = gzip wrapper
+        tail: bytes = data
+        while True:
+            out = d.decompress(tail, max_chunk)
+            if out:
+                yield out
+            if d.eof:
+                data = d.unused_data  # next member (or b"")
+                break
+            tail = d.unconsumed_tail
+            if not tail:
+                return  # input exhausted mid-member: truncated shard
+
+
+def _record_tuple(path: str, h: dict[str, str], block: bytes) -> tuple:
+    wtype = h.get("warc-type", "")
+    status = None
+    ctype = None
+    body = block
+    if wtype in ("response", "revisit") and block.startswith(b"HTTP/"):
+        hh_end = block.find(b"\r\n\r\n")
+        if hh_end >= 0:
+            http_lines = (
+                block[:hh_end].decode("latin-1", "replace").split("\r\n")
+            )
+            body = block[hh_end + 4 :]
+            parts = http_lines[0].split()
+            if len(parts) >= 2 and parts[1].isdigit():
+                status = int(parts[1])
+            for ln in http_lines[1:]:
+                k, _, v = ln.partition(":")
+                if k.strip().lower() == "content-type":
+                    ctype = v.strip()
+    return (
+        path,
+        h.get("warc-target-uri"),
+        _parse_warc_ts(h.get("warc-date")),
+        wtype,
+        status,
+        ctype,
+        body,
+    )
+
+
+def _parse_stream(path: str, chunks):
+    """Frame WARC records off a chunk stream. Framing walks
+    Content-Length; a malformed header terminates the file scan
+    (truncated shard) rather than mis-framing subsequent records.
+    Buffer high-water mark ≈ one record."""
+    it = iter(chunks)
+    buf = bytearray()
+
+    def pull() -> bool:
+        try:
+            buf.extend(next(it))
+            return True
+        except StopIteration:
+            return False
+
+    while True:
+        # skip inter-record CRLF separators
+        while True:
+            while len(buf) < 2 and pull():
+                pass
+            if buf[:2] == b"\r\n":
+                del buf[:2]
+            else:
+                break
+        if not buf and not pull():
+            return
+        while (hdr_end := buf.find(b"\r\n\r\n")) < 0:
+            if not pull():
+                return
+        lines = bytes(buf[:hdr_end]).decode("utf-8", "replace").split("\r\n")
         if not lines[0].startswith("WARC/"):
-            break
+            return
         h: dict[str, str] = {}
         for ln in lines[1:]:
             k, _, v = ln.partition(":")
@@ -113,39 +177,24 @@ def parse_warc_records(path: str, data: bytes) -> list[tuple]:
         try:
             clen = int(h.get("content-length", ""))
         except ValueError:
-            break
-        block = data[hdr_end + 4 : hdr_end + 4 + clen]
-        pos = hdr_end + 4 + clen
-        wtype = h.get("warc-type", "")
-        status = None
-        ctype = None
-        body = block
-        if wtype in ("response", "revisit") and block.startswith(b"HTTP/"):
-            hh_end = block.find(b"\r\n\r\n")
-            if hh_end >= 0:
-                http_lines = (
-                    block[:hh_end].decode("latin-1", "replace").split("\r\n")
-                )
-                body = block[hh_end + 4 :]
-                parts = http_lines[0].split()
-                if len(parts) >= 2 and parts[1].isdigit():
-                    status = int(parts[1])
-                for ln in http_lines[1:]:
-                    k, _, v = ln.partition(":")
-                    if k.strip().lower() == "content-type":
-                        ctype = v.strip()
-        out.append(
-            (
-                path,
-                h.get("warc-target-uri"),
-                _parse_warc_ts(h.get("warc-date")),
-                wtype,
-                status,
-                ctype,
-                body,
-            )
-        )
-    return out
+            return
+        while len(buf) < hdr_end + 4 + clen and pull():
+            pass
+        block = bytes(buf[hdr_end + 4 : hdr_end + 4 + clen])
+        del buf[: hdr_end + 4 + clen]
+        yield _record_tuple(path, h, block)
+
+
+def parse_warc_records(path: str, data: bytes) -> list[tuple]:
+    """All records of one WARC payload as WARC_SCHEMA tuples. Gzipped
+    payloads decompress as a stream (``_gz_chunks``): peak memory is
+    the compressed bytes (which the binaryFile source holds anyway)
+    plus one record — the inflated shard never fully materializes."""
+    if path.endswith(".gz") or data[:2] == b"\x1f\x8b":
+        chunks = _gz_chunks(data)
+    else:
+        chunks = iter((data,))
+    return list(_parse_stream(path, chunks))
 
 
 def read_warc(

@@ -91,6 +91,33 @@ def test_warc_truncated_and_garbage_tails(spark, tmp_path):
     assert len(rows) == 2  # neither tail produced a phantom record
 
 
+def test_warc_streaming_decompress_chunk_boundaries():
+    # The gz stream parser must frame records correctly no matter where
+    # decompression chunk boundaries fall — force 7-byte chunks so every
+    # header and block straddles boundaries; multi-member layout too.
+    import gzip as gz
+
+    from myaku_spark.sources.warc import _gz_chunks, _parse_stream
+
+    recs = [
+        warc_record_bytes(
+            f"http://m.example/{i}",
+            "2026-01-01T00:00:00Z",
+            bytes([65 + i % 26]) * (i % 97 + 1),
+        )
+        for i in range(200)
+    ]
+    payload = b"".join(gz.compress(r) for r in recs)
+    rows = list(
+        _parse_stream("s.warc.gz", _gz_chunks(payload, max_chunk=7))
+    )
+    assert len(rows) == 200
+    for i, r in enumerate(rows):
+        assert r[1] == f"http://m.example/{i}"
+        assert r[6] == bytes([65 + i % 26]) * (i % 97 + 1)
+        assert r[4] == 200
+
+
 def test_warc_to_index_extraction_parity(spark, tmp_path):
     # A synthesized corpus archived as one .warc.gz shard must extract
     # byte-identically to the same corpus landed as a native pages
