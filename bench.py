@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "kmeans_clusters",
     "phrase_search",
     "curation_funnel",
+    "line_dedup",
 ]
 
 
