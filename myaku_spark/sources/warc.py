@@ -224,6 +224,75 @@ def read_warc(
     return files.mapInPandas(gen, WARC_SCHEMA)
 
 
+def write_wet(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    url_col: str | None = "url",
+    ts_col: str | None = None,
+    default_ts: str = "1970-01-01T00:00:00Z",
+    compress: bool = True,
+) -> DataFrame:
+    """Curated-corpus delivery in WET shape: one ``conversion`` record
+    per document (Common Crawl's extracted-text format), one
+    ``part-NNNNN.warc[.gz]`` shard per partition. The complement of
+    ``read_warc`` — ingest WARC, curate, deliver WET.
+
+    Executors write shards directly into ``path`` (local dir here;
+    any mounted filesystem — NFS, object-store FUSE — on a cluster:
+    the writer is plain ``open()``, not a Hadoop client). Returns the
+    per-shard manifest (shard path, records, bytes) — an action on it
+    performs the write. Missing url/ts columns fall back to a blank
+    URI / ``default_ts`` (fixed, deterministic — no wall clock).
+    Records gzip member-per-record, the layout ``read_warc`` parses
+    back; text lands UTF-8."""
+    import gzip as gz
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    cols = [text_col]
+    if url_col:
+        cols.append(url_col)
+    if ts_col:
+        cols.append(ts_col)
+    src = docs.select(*cols).filter(F.col(text_col).isNotNull())
+    ext = ".warc.gz" if compress else ".warc"
+
+    def write_shard(idx, rows):
+        shard = os.path.join(path, f"part-{idx:05d}{ext}")
+        n = 0
+        nbytes = 0
+        f = None
+        try:
+            for r in rows:
+                url = getattr(r, url_col) if url_col else ""
+                ts = getattr(r, ts_col) if ts_col else None
+                ts = (ts.isoformat() + "Z") if ts is not None else default_ts
+                rec = warc_record_bytes(
+                    url or "",
+                    ts,
+                    getattr(r, text_col).encode("utf-8"),
+                    warc_type="conversion",
+                )
+                if compress:
+                    rec = gz.compress(rec)
+                if f is None:  # empty partitions write no shard
+                    f = open(shard, "wb")
+                f.write(rec)
+                n += 1
+                nbytes += len(rec)
+        finally:
+            if f is not None:
+                f.close()
+        return iter([(shard, n, nbytes)] if n else ())
+
+    spark = docs.sparkSession
+    manifest = src.rdd.mapPartitionsWithIndex(write_shard)
+    return spark.createDataFrame(
+        manifest, "shard string, records long, bytes long"
+    )
+
+
 def warc_to_pages(warc: DataFrame) -> DataFrame:
     """2xx response records → the pages landing schema. ``text`` lands
     NULL (extraction fills it downstream — build_index coalesces its

@@ -44,9 +44,12 @@ def main() -> None:
              "before any quality stage runs; 0 (default) = off",
     )
     ap.add_argument(
-        "--out-format", default="parquet", choices=["parquet", "jsonl"],
+        "--out-format", default="parquet",
+        choices=["parquet", "jsonl", "wet"],
         help="jsonl = one JSON doc per line (the standard training-data "
-             "delivery format; Spark's json sink is line-delimited)",
+             "delivery format; Spark's json sink is line-delimited); "
+             "wet = WARC conversion records, gzip member-per-record "
+             "(the Common Crawl extracted-text delivery shape)",
     )
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
@@ -89,8 +92,15 @@ def main() -> None:
     ).persist()
     curated = curate(docs, flags=flags)
     docs_out = os.path.join(args.out, "docs")
+    wet_shards = None
     if args.out_format == "jsonl":
         curated.write.mode("overwrite").json(docs_out)
+    elif args.out_format == "wet":
+        from myaku_spark.sources.warc import write_wet
+
+        # documents carry no url column; conversion records land with
+        # a blank target URI and the fixed deterministic timestamp
+        wet_shards = write_wet(curated, docs_out, url_col=None).collect()
     else:
         curated.write.mode("overwrite").parquet(docs_out)
     funnel = curate_metrics(flags).collect()
@@ -106,6 +116,14 @@ def main() -> None:
             {
                 "stages": {r.stage: r.n_docs for r in funnel},
                 "lines_removed": lines_removed,
+                "wet_shards": (
+                    len(wet_shards) if wet_shards is not None else None
+                ),
+                "wet_records": (
+                    sum(r.records for r in wet_shards)
+                    if wet_shards is not None
+                    else None
+                ),
                 "wall_sec": round(time.time() - t0, 3),
                 "out": args.out,
             }

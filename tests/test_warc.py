@@ -118,6 +118,38 @@ def test_warc_streaming_decompress_chunk_boundaries():
         assert r[4] == 200
 
 
+def test_wet_write_read_roundtrip(spark, tmp_path):
+    # Delivery side: curated text out as WET conversion records,
+    # parsed back by the same reader.
+    import datetime as dt
+
+    from myaku_spark.sources.warc import write_wet
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"http://d.example/{i}", f"text body {i}\nline two {i}")
+            for i in range(40)
+        ],
+        "doc_id long, url string, text string",
+    ).repartition(3)
+    man = write_wet(docs, str(tmp_path / "wet"), url_col="url").collect()
+    assert sum(r.records for r in man) == 40
+    assert all(r.shard.endswith(".warc.gz") and r.bytes > 0 for r in man)
+
+    back = read_warc(spark, str(tmp_path / "wet")).collect()
+    assert len(back) == 40
+    assert all(
+        r.warc_type == "conversion" and r.http_status is None for r in back
+    )
+    got = {r.url: bytes(r.body).decode() for r in back}
+    assert got == {
+        f"http://d.example/{i}": f"text body {i}\nline two {i}"
+        for i in range(40)
+    }
+    # default timestamp is the fixed deterministic epoch, not wall clock
+    assert {r.warc_ts for r in back} == {dt.datetime(1970, 1, 1)}
+
+
 def test_warc_to_index_extraction_parity(spark, tmp_path):
     # A synthesized corpus archived as one .warc.gz shard must extract
     # byte-identically to the same corpus landed as a native pages
