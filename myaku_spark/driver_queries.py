@@ -2277,6 +2277,34 @@ def q_fuzzy_terms(spark, sf_dir):
     return fuzzy_term_lookup(terms, queries, max_dist=2, k=3)
 
 
+PREFIX_QUERIES = [
+    ("p1", "s"),     # scan/sort/stream/spark/... — contested top-5
+    ("p2", "co"),    # column/...
+    ("p3", "qu"),    # query/...
+    ("p4", "pa"),    # part/...
+    ("p5", "zzzz"),  # no completions — must contribute zero rows
+]
+PREFIX_K = 5
+
+
+def q_prefix_terms(spark, sf_dir):
+    """Autocomplete: top-5 term-dictionary completions per prefix,
+    ranked by (df desc, term). The Spark plan broadcasts the prefix
+    set against the term dictionary (operators/fuzzy.py
+    prefix_term_lookup — a persisted dictionary prunes the scan via
+    StringStartsWith pushdown); the oracle replays it with LIKE."""
+    from myaku_spark.operators.fuzzy import prefix_term_lookup
+
+    p = post_ops.build_postings(_tokens(spark, sf_dir))
+    terms = post_ops.term_stats(p).select(
+        "term", F.col("df").cast("long").alias("df")
+    )
+    queries = spark.createDataFrame(
+        PREFIX_QUERIES, "query_id string, prefix string"
+    )
+    return prefix_term_lookup(terms, queries, k=PREFIX_K)
+
+
 SUBSTR_L = 80  # min duplicated-substring length (chars) for the gate
 
 
@@ -2348,6 +2376,7 @@ QUERIES = {
     "substring_spans": q_substring_spans,
     "semantic_dedup": q_semantic_dedup,
     "line_dedup": q_line_dedup,
+    "prefix_terms": q_prefix_terms,
     # Previously-reported keys follow in their r4 order; the last 16 of
     # them rotate out of this round's window (all green in
     # CORRECTNESS_r04.json).
@@ -2697,6 +2726,22 @@ pairs AS (
 SELECT query_id, q, term, dist, df FROM pairs
 QUALIFY row_number() OVER (
   PARTITION BY query_id ORDER BY dist, df DESC, term) <= 3
+""",
+    "prefix_terms": f"""
+WITH {_SQL_POSTINGS},
+term_df AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM postings GROUP BY term
+),
+pq(query_id, prefix) AS (
+  VALUES {",".join(f"({qid!r}, {p!r})" for qid, p in PREFIX_QUERIES)}
+)
+SELECT query_id, prefix, CAST(rank AS INT) AS rank, term, df FROM (
+  SELECT query_id, prefix, term, df,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY df DESC, term) AS rank
+  FROM term_df JOIN pq ON starts_with(term, prefix)
+) WHERE rank <= {PREFIX_K}
 """,
     "bm25_topk": f"""
 WITH {_SQL_BM25},

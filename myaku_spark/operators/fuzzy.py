@@ -127,3 +127,64 @@ def fuzzy_term_lookup(
             F.col("df").cast("long").alias("df"),
         )
     )
+
+
+def prefix_term_lookup(
+    terms: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Autocomplete: top-k dictionary terms per prefix.
+
+    terms:   (term string, df long)   — term dictionary with doc freq
+    queries: (query_id string, prefix string) DataFrame, or a plain
+             list of (query_id, prefix) pairs
+    Returns (query_id, prefix, rank int, term, df long), the k terms
+    extending each prefix ranked by (df desc, term asc).
+
+    Scale shape, two paths. A LIST of prefixes (the interactive
+    autocomplete case) becomes one literal ``startswith`` filter leg
+    per prefix: on a parquet term dictionary sorted by term on write,
+    Catalyst pushes StringStartsWith into PushedFilters and row-group
+    min/max statistics prune the scan to the matching range — the
+    probe reads O(matching terms), not the dictionary (plan-asserted
+    in tests). A DataFrame query set (batch analytics over many
+    prefixes) broadcasts against a single dictionary scan instead —
+    one plan regardless of prefix count. The per-query window
+    partitions by query_id (bounded by k after the filter, never
+    corpus-sized); both paths are result-identical (tested).
+    """
+    if isinstance(queries, (list, tuple)):
+        legs = [
+            terms.select("term", "df")
+            .filter(F.col("term").startswith(p))  # literal → pushdown
+            .select(
+                F.lit(qid).alias("query_id"),
+                F.lit(p).alias("prefix"),
+                "term",
+                "df",
+            )
+            for qid, p in queries
+        ]
+        joined = legs[0]
+        for leg in legs[1:]:
+            joined = joined.unionByName(leg)
+    else:
+        joined = terms.select("term", "df").join(
+            F.broadcast(queries.select("query_id", "prefix")),
+            F.col("term").startswith(F.col("prefix")),
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("df").desc(), F.col("term").asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "prefix",
+            F.col("rank").cast("int").alias("rank"),
+            "term",
+            F.col("df").cast("long").alias("df"),
+        )
+    )

@@ -100,3 +100,44 @@ def test_no_match_yields_empty(spark):
     assert (
         fuzzy_term_lookup(terms, queries, max_dist=2, k=3).count() == 0
     )
+
+
+def test_prefix_lookup_paths_identical_and_pushdown(spark, tmp_path):
+    from myaku_spark.operators.fuzzy import prefix_term_lookup
+
+    terms = spark.createDataFrame(
+        [
+            ("alpha", 30), ("alphabet", 10), ("alpine", 20),
+            ("beta", 40), ("between", 5), ("al", 7), ("gamma", 1),
+        ],
+        "term string, df long",
+    )
+    qs = [("p1", "al"), ("p2", "be"), ("p3", "zz")]
+    qdf = spark.createDataFrame(qs, "query_id string, prefix string")
+
+    def key(rows):
+        return sorted(
+            (r.query_id, r.prefix, r.rank, r.term, r.df) for r in rows
+        )
+
+    got_list = key(prefix_term_lookup(terms, qs, k=2).collect())
+    got_df = key(prefix_term_lookup(terms, qdf, k=2).collect())
+    assert got_list == got_df
+    # rank by df desc then term; 'zz' contributes nothing
+    assert got_list == [
+        ("p1", "al", 1, "alpha", 30),
+        ("p1", "al", 2, "alpine", 20),
+        ("p2", "be", 1, "beta", 40),
+        ("p2", "be", 2, "between", 5),
+    ]
+
+    # literal-path pushdown: a parquet-persisted dictionary shows the
+    # prefix probe in PushedFilters (row-group pruning at scale)
+    p = str(tmp_path / "term_dict")
+    terms.sort("term").write.parquet(p)
+    disk = spark.read.parquet(p)
+    plan = (
+        prefix_term_lookup(disk, [("p1", "al")], k=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "StartsWith" in plan, plan
