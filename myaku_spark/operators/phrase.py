@@ -502,7 +502,13 @@ def batch_phrase_match(
     match (shuffles Σ df light rows — N-independent); 'auto' picks
     bnlj for batches ≤ BNLJ_GATE_MAX_QUERIES (``n_queries`` hint
     avoids the count() action when the caller knows the batch size).
-    Both gates are result-identical (tested)."""
+    Both gates are result-identical (tested). Queries with an empty
+    terms array are dropped up front: the bnlj containment gate is
+    vacuously true for them (every doc matches) and the chain fold's
+    slice(terms, 2, size-1) then throws at runtime, failing the whole
+    batch — whereas the equi gate merely produced no rows. Uniform
+    no-rows semantics on both paths."""
+    queries_df = queries_df.filter(F.size("terms") >= 1)
     if gate_mode == "auto":
         if n_queries is None:
             n_queries = queries_df.count()

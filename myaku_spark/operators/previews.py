@@ -203,63 +203,72 @@ def preview_for_results(
     matched positions of the query terms per result doc from the
     segments, then pick the best-quality sentence. ``pages`` supplies
     (url, text)."""
-    from myaku_spark.operators.codec import decode_block
+    from myaku_spark.operators.phrase import decode_postings
     from myaku_spark.operators.segments import read_term_segments
 
     if not results:
         return spark.createDataFrame(
             [], "doc_id long, score double, preview string"
         )
-    doc_ids = {int(d) for _, d in results}
-    # Two-phase read: block metadata first, then blobs for ONLY the
-    # blocks whose doc range intersects the (≤ k·pages) result set —
-    # never the whole posting list of a head term.
-    import bisect
-
-    sorted_ids = sorted(doc_ids)
-
-    def _hits(lo: int, hi: int) -> bool:
-        i = bisect.bisect_left(sorted_ids, lo)
-        return i < len(sorted_ids) and sorted_ids[i] <= hi
-
+    # Two-phase read, fully distributed (r5 verdict #1 — the old version
+    # collected (term, block_id, min_doc, max_doc) for EVERY block of
+    # every result term and bisected driver-side, the one serving-path
+    # collect proportional to a head term's block count): the result-doc
+    # set (≤ k·pages rows) broadcasts into an interval semi-join against
+    # the block metadata, so only blocks whose [min_doc, max_doc] range
+    # covers a result doc are ever decoded — and the decode itself runs
+    # executor-side (the same mapInArrow kernel phrase search uses),
+    # shipping the driver nothing but the final per-result-doc position
+    # arrays. Same pattern as plans/incremental.tombstone_block_patches.
+    rdoc = F.broadcast(
+        spark.createDataFrame(
+            [(int(d),) for _, d in sorted(results, key=lambda r: r[1])],
+            "rdoc long",
+        )
+    )
     from myaku_spark.plans import catalog
 
     _, paths = catalog.resolve(index_dir)
     seg = read_term_segments(spark, paths["segments"], terms)
-    meta = seg.select("term", "block_id", "min_doc", "max_doc").collect()
-    need_by_term: dict[str, set] = {}
-    for m in meta:
-        if _hits(int(m.min_doc), int(m.max_doc)):
-            need_by_term.setdefault(m.term, set()).add(int(m.block_id))
-    cond = None
-    for t, ids in need_by_term.items():
-        c = (F.col("term") == t) & F.col("block_id").isin(list(ids))
-        cond = c if cond is None else (cond | c)
-    rows = seg.filter(cond).collect() if cond is not None else []
-    match_pos: dict[int, list] = {}
-    for r in rows:
-        dec = decode_block(bytes(r.blob))
-        pos = dec.get("positions")
-        if pos is None:
-            continue
-        for i, d in enumerate(dec["doc_ids"]):
-            d = int(d)
-            if d in doc_ids and pos[i]:
-                match_pos.setdefault(d, []).extend(
-                    (int(s), int(ln)) for s, ln in pos[i]
-                )
-    rdf = spark.createDataFrame(
-        [
-            (
-                int(d),
-                float(s),
-                [p[0] for p in sorted(match_pos.get(int(d), []))],
-                [p[1] for p in sorted(match_pos.get(int(d), []))],
-            )
-            for s, d in results
-        ],
-        "doc_id long, score double, match_starts array<int>, "
-        "match_lens array<int>",
+    needed = seg.join(
+        rdoc,
+        (F.col("min_doc") <= F.col("rdoc"))
+        & (F.col("rdoc") <= F.col("max_doc")),
+        "leftsemi",
+    )
+    pos = (
+        decode_postings(needed)
+        .join(rdoc, F.col("doc_id") == F.col("rdoc"), "leftsemi")
+        .filter(F.size("starts") > 0)
+        .select(
+            "doc_id", F.arrays_zip("starts", "lens").alias("ps")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.flatten(F.collect_list("ps"))).alias("ps")
+        )
+        .select(
+            "doc_id",
+            F.col("ps.starts").alias("match_starts"),
+            F.col("ps.lens").alias("match_lens"),
+        )
+    )
+    rdf = (
+        spark.createDataFrame(
+            [(int(d), float(s)) for s, d in results],
+            "doc_id long, score double",
+        )
+        .join(pos, "doc_id", "left")
+        .select(
+            "doc_id",
+            "score",
+            F.coalesce(
+                F.col("match_starts"), F.array().cast("array<int>")
+            ).alias("match_starts"),
+            F.coalesce(
+                F.col("match_lens"), F.array().cast("array<int>")
+            ).alias("match_lens"),
+        )
     )
     docs = spark.read.parquet(paths["docs"]).select("doc_id", "url")
     texts = docs.join(pages.select("url", "text"), "url").select(

@@ -67,8 +67,11 @@ def warc_record_bytes(
         head.append(f"WARC-Target-URI: {url}")
     head.append(f"WARC-Date: {ts}")
     head.append(f"Content-Length: {len(http)}")
+    # WARC 1.0 permits UTF-8 header values — a non-latin-1 Target-URI
+    # (routine in a Japanese-web corpus) must round-trip through the
+    # UTF-8 decode on the read side (_parse_stream).
     return (
-        ("\r\n".join(head) + "\r\n\r\n").encode("latin-1")
+        ("\r\n".join(head) + "\r\n\r\n").encode("utf-8")
         + http
         + b"\r\n\r\n"
     )
@@ -180,6 +183,8 @@ def _parse_stream(path: str, chunks):
             return
         while len(buf) < hdr_end + 4 + clen and pull():
             pass
+        if len(buf) < hdr_end + 4 + clen:
+            return  # stream ended mid-block: drop the partial record
         block = bytes(buf[hdr_end + 4 : hdr_end + 4 + clen])
         del buf[: hdr_end + 4 + clen]
         yield _record_tuple(path, h, block)
@@ -267,7 +272,14 @@ def write_wet(
             for r in rows:
                 url = getattr(r, url_col) if url_col else ""
                 ts = getattr(r, ts_col) if ts_col else None
-                ts = (ts.isoformat() + "Z") if ts is not None else default_ts
+                if ts is not None:
+                    if ts.tzinfo is not None:  # mirror _parse_warc_ts
+                        ts = ts.astimezone(dt.timezone.utc).replace(
+                            tzinfo=None
+                        )
+                    ts = ts.isoformat() + "Z"
+                else:
+                    ts = default_ts
                 rec = warc_record_bytes(
                     url or "",
                     ts,

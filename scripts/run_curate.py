@@ -74,9 +74,15 @@ def main() -> None:
             F.sum("n_removed").cast("long").alias("n")
         ).collect()[0].n
         # cleaned text rides back onto the full row (other columns —
-        # source etc. — feed later funnel stages)
-        docs = docs.drop("text").join(
-            cleaned.select("doc_id", "text"), "doc_id"
+        # source etc. — feed later funnel stages). LEFT join: docs with
+        # NULL text have no strip_common_lines row (nothing to
+        # posexplode) and must still flow through the quality funnel —
+        # which drops them visibly at its own stage — not vanish here.
+        docs = (
+            docs.withColumnRenamed("text", "_orig_text")
+            .join(cleaned.select("doc_id", "text"), "doc_id", "left")
+            .withColumn("text", F.coalesce("text", "_orig_text"))
+            .drop("_orig_text")
         )
     lm = train_bigram_lm(docs)
     flags = curate_flags(

@@ -633,3 +633,26 @@ def test_batch_phrase_gate_modes_identical(spark):
     assert rows("bnlj") == rows("equi")
     assert rows("bnlj") == rows("auto")
     postings.unpersist()
+
+
+def test_batch_phrase_empty_terms_query_dropped(spark):
+    # r5 advice: an empty terms array passed the bnlj containment gate
+    # vacuously (every doc a candidate), then the chain fold's
+    # slice(terms, 2, size-1) threw at runtime and failed the whole
+    # batch; the equi gate silently produced no rows. Both paths must
+    # drop the degenerate query and still answer the rest of the batch.
+    from myaku_spark.operators.phrase import batch_phrase_match, decode_postings
+
+    segs = _segments_for(spark, DOCS)
+    postings = decode_postings(segs).persist()
+    qdf = spark.createDataFrame(
+        [("good", ["a", "b"]), ("empty", [])],
+        "query_id string, terms array<string>",
+    )
+    for mode in ("bnlj", "equi"):
+        got = batch_phrase_match(
+            postings, qdf, gap=1, gate_mode=mode
+        ).collect()
+        assert {r.query_id for r in got} == {"good"}, mode
+        assert len(got) > 0, mode
+    postings.unpersist()

@@ -383,3 +383,62 @@ def test_attach_full_previews_distributed(spark):
         got = json.loads(out[doc_id])
         assert got["main"] == want_main, doc_id
     assert out[3] is None  # no positions → no preview
+
+
+def test_preview_never_collects_head_term_block_metadata(
+    spark, tmp_path, monkeypatch
+):
+    # r5 verdict #1: the old preview position recovery collected
+    # (term, block_id, min_doc, max_doc) for EVERY block of every result
+    # term, a driver-side set proportional to a head term's block count.
+    # Build an index where a head term has one block PER DOC
+    # (block_doc_range=1), then assert the whole preview pipeline —
+    # construction AND materialization — never collects anything larger
+    # than the result set, while outputs stay correct.
+    from myaku_spark.sources.pages import synth_pages_df
+
+    d = str(tmp_path / "many_block_idx")
+    n_docs = 150
+    pages = synth_pages_df(spark, n_docs, partitions=4)
+    build_index(
+        spark, pages, d, n_groups=1, now=NOW,
+        block_doc_range=1, head_df_threshold=10,
+    )
+
+    term = (
+        spark.read.parquet(f"{d}/term_stats")
+        .orderBy(F.desc("df"), "term")
+        .limit(1)
+        .collect()[0]
+        .term
+    )
+    n_blocks = (
+        spark.read.parquet(f"{d}/segments")
+        .filter(F.col("term") == term)
+        .count()
+    )
+    assert n_blocks >= 50  # genuinely a many-block head term
+
+    searcher = IndexSearcher(spark, d)
+    results = searcher.search([term], k=5)
+    assert results
+
+    cls = type(spark.range(1))
+    sizes = []
+    orig = cls.collect
+
+    def counting_collect(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(cls, "collect", counting_collect)
+    pv = preview_for_results(spark, d, results, [term], pages)
+    rows = pv.collect()
+    monkeypatch.setattr(cls, "collect", orig)
+
+    assert len(rows) == len(results)
+    assert all(r.preview and term in r.preview for r in rows)
+    # Only result-sized materializations ever reached the driver — the
+    # block metadata (>= n_blocks rows) stayed in the executors.
+    assert sizes and max(sizes) <= len(results), sorted(sizes)[-5:]
