@@ -656,3 +656,46 @@ def test_batch_phrase_empty_terms_query_dropped(spark):
         assert {r.query_id for r in got} == {"good"}, mode
         assert len(got) > 0, mode
     postings.unpersist()
+
+
+def test_single_phrase_prune_true_forces_below_threshold(spark, monkeypatch):
+    # r5 verdict #7: phrase_search(prune=True) must force the prune
+    # through PRUNE_MIN_POSTINGS exactly like the batch path — on a
+    # sub-threshold corpus (where "auto" declines) the forced call
+    # passes min_postings=0 into _prune_blocks_for_queries and the
+    # returned segment set genuinely shrinks, with results unchanged.
+    import myaku_spark.operators.phrase as ph
+
+    segs = _segments_for(spark, DOCS).persist()
+    want = sorted(
+        (r.doc_id, r.phrase_tf, tuple(r.match_starts))
+        for r in phrase_search(
+            spark, segs, ["a", "b"], k=100, gap=1, prune=False
+        ).collect()
+    )
+
+    calls = []
+    orig = ph._prune_blocks_for_queries
+
+    def spy(segments, queries, min_postings=None):
+        out = orig(segments, queries, min_postings=min_postings)
+        calls.append((min_postings, out is segments))
+        return out
+
+    monkeypatch.setattr(ph, "_prune_blocks_for_queries", spy)
+    got = sorted(
+        (r.doc_id, r.phrase_tf, tuple(r.match_starts))
+        for r in phrase_search(
+            spark, segs, ["a", "b"], k=100, gap=1, prune=True
+        ).collect()
+    )
+    assert got == want and got
+    # forced: min_postings=0 reached the prune, and the guard did NOT
+    # short-circuit back the unpruned segments
+    assert calls == [(0, False)]
+
+    # sanity: the default guard on this tiny corpus DOES short-circuit
+    calls.clear()
+    phrase_search(spark, segs, ["a", "b"], k=100, gap=1, prune="auto")
+    assert calls and calls[0][0] is None and calls[0][1] is True
+    segs.unpersist()

@@ -997,3 +997,60 @@ def test_ngram_jaccard_candidate_pruning_in_plan(spark, dup_docs):
     assert agg_at != -1
     below_agg = plan[agg_at:]
     assert below_agg.count("LeftSemi") >= 3, plan  # 2 id prunes + pair prune
+
+
+def test_semantic_dedup_max_cluster_guard(spark):
+    # r5 verdict #3: a degenerate clustering (all vectors in one
+    # cluster — here a single randn blob at +10, whose mutual cosine is
+    # ~0.99 with k=1) must not go quadratic. With max_cluster=25 over
+    # 200 vectors the single cluster splits into 8 xxhash64(id)
+    # sub-shards; each shard keeps exactly its own lowest-id survivor
+    # (every pair within a shard is a near-duplicate), so the kept set
+    # equals the per-shard argmins — bounded-recall semantics by
+    # construction, completion guaranteed by the ~max_cluster²/2 pair
+    # cap per shard.
+    import numpy as np
+
+    from myaku_spark.operators.similarity import kmeans_fit, semantic_dedup
+
+    rng = np.random.RandomState(11)
+    X = (rng.randn(200, 8) * 0.01 + 10.0).round(3)  # one tight blob
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = kmeans_fit(df, k=1, iters=1)
+    max_cluster = 25
+    out = semantic_dedup(
+        df, cents, threshold=0.98, max_cluster=max_cluster
+    ).collect()
+    assert len(out) == 200
+    kept = sorted(r.vec_id for r in out if r.kept)
+
+    # twin: sub-shard = pmod(xxhash64(id), ceil(200/25)); survivor per
+    # shard = its min id (all pairs in this blob clear the threshold)
+    n_sub = -(-200 // max_cluster)
+    shard = {
+        r.vec_id: r.sub
+        for r in spark.createDataFrame(
+            [(i,) for i in range(200)], "vec_id long"
+        )
+        .select(
+            "vec_id",
+            F.pmod(F.xxhash64("vec_id"), F.lit(n_sub)).alias("sub"),
+        )
+        .collect()
+    }
+    want = sorted(
+        min(i for i in range(200) if shard[i] == s)
+        for s in set(shard.values())
+    )
+    assert kept == want
+    assert len(kept) <= n_sub  # far below n: the dedup still bites
+
+    # under the cap (max_cluster >= n) the guard is a no-op: one
+    # survivor for the whole near-identical blob
+    out2 = semantic_dedup(
+        df, cents, threshold=0.98, max_cluster=10_000
+    ).collect()
+    assert sorted(r.vec_id for r in out2 if r.kept) == [0]

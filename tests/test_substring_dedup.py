@@ -119,3 +119,71 @@ def test_strip_rebuilds_text(spark):
         expect += t[cur:]
         assert out[d] == (expect, len(d_spans)), d
     assert out[3] == (texts[3], 0)
+
+
+def test_gram_key_hash_equals_raw(spark):
+    # r5 verdict #2: 'hash' groups/joins on xxhash64(gram) — 8 shuffle
+    # bytes per gram instead of L chars — and must produce identical
+    # spans to 'raw' (collisions are ~2^-64 per pair; none on any real
+    # corpus this size). Sweep the twin corpus at two L values.
+    import hashlib
+
+    def word(i):
+        return hashlib.md5(str(i).encode()).hexdigest()[:4]
+
+    texts = {}
+    for d in range(12):
+        words = [word((d * 7 + j) % 9) for j in range(d * 3)]
+        texts[d] = " ".join(words)
+    texts[50] = "x" + "SHARED-RUN-OF-BOILERPLATE" * 3
+    texts[51] = "y" + "SHARED-RUN-OF-BOILERPLATE" * 3
+    df = _docs_df(spark, texts)
+    for l in (6, 12):
+        raw = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in repeated_substring_spans(
+                df, min_len=l, gram_key="raw"
+            ).collect()
+        }
+        hashed = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in repeated_substring_spans(
+                df, min_len=l, gram_key="hash"
+            ).collect()
+        }
+        assert raw == hashed and raw == _twin_spans(texts, l), l
+
+
+def test_gram_key_auto_threshold(spark, tmp_path, monkeypatch):
+    # 'auto' flips to hash past the plan-size estimate threshold — a
+    # statistics probe, no job. Parquet-backed input has a real file
+    # size estimate; a fresh local relation has UNKNOWN stats
+    # (Long.MaxValue) and must resolve to hash (can't bound the input
+    # → take the shuffle-safe key).
+    import myaku_spark.operators.dedup as dd
+
+    texts = {1: "abcdefghij" * 4 + "TAIL", 2: "abcdefghij" * 4 + "LIAT"}
+    local = _docs_df(spark, texts)
+    local.write.mode("overwrite").parquet(str(tmp_path / "docs"))
+    df = spark.read.parquet(str(tmp_path / "docs"))
+
+    def key_type(out):
+        # hash mode groups on a LongType gram; raw on StringType
+        plan = out._jdf.queryExecution().analyzed().toString()
+        return "xxhash64" in plan
+
+    monkeypatch.setattr(dd, "SUBSTRING_HASH_GRAM_BYTES", 1)
+    assert key_type(repeated_substring_spans(df, min_len=10))
+    monkeypatch.setattr(dd, "SUBSTRING_HASH_GRAM_BYTES", 1 << 60)
+    assert not key_type(repeated_substring_spans(df, min_len=10))
+    # unknown-stats local relation → hash even under a huge threshold
+    assert key_type(repeated_substring_spans(local, min_len=10))
+    # and both produce the twin's spans
+    for mode in ("raw", "hash"):
+        got = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in repeated_substring_spans(
+                df, min_len=10, gram_key=mode
+            ).collect()
+        }
+        assert got == _twin_spans(texts, 10), mode
