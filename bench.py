@@ -80,6 +80,69 @@ def force(df) -> int:
     return df.select(F.count(F.lit(1))).collect()[0][0]
 
 
+def run_single(name: str) -> None:
+    """One query in a FRESH process/JVM (the --isolate worker): session
+    start, the standard bm25 warmup, then the named query timed
+    min-of-3. Prints one JSON line."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("myaku_spark_bench_single", parallelism=cpus)
+    force(q_bm25_topk(spark, sf_dir))
+    runs = []
+    for _ in range(3):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        force(QUERIES[name](spark, sf_dir))
+        runs.append(round(time.time() - t0, 3))
+    print(json.dumps({"query": name, "sec": min(runs), "runs": runs}))
+    spark.stop()
+
+
+def run_isolated(names: list[str]) -> None:
+    """r5 verdict #4: the shared-JVM fixed-order bench cannot attribute
+    drift on untouched queries (JVM state? cache layout? real?). This
+    mode runs each named query in its own subprocess — fresh JVM, fresh
+    codegen cache, nothing persisted from earlier queries — strictly
+    sequentially (never two Spark JVMs while measuring), with the same
+    contention canary stamping the artifact."""
+    import subprocess
+
+    canary_start = canary_sec()
+    out: dict[str, dict] = {}
+    for n in names:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single", n],
+            capture_output=True,
+            text=True,
+            check=True,
+            timeout=1800,
+        )
+        out[n] = json.loads(proc.stdout.strip().splitlines()[-1])
+    canary_end = canary_sec()
+    canary_worst = max(canary_start, canary_end)
+    print(
+        json.dumps(
+            {
+                "metric": "isolated_query_sec",
+                "queries": {n: v["sec"] for n, v in out.items()},
+                "runs": {n: v["runs"] for n, v in out.items()},
+                "sf_dir": os.environ.get(
+                    "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+                ),
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+                "canary_start_sec": round(canary_start, 3),
+                "canary_end_sec": round(canary_end, 3),
+                "canary_ref_sec": CANARY_REF_SEC,
+                "box_load": (
+                    "contended"
+                    if canary_worst > CANARY_REF_SEC * CANARY_CONTENDED_RATIO
+                    else "exclusive"
+                ),
+            }
+        )
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -394,4 +457,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--single":
+        run_single(sys.argv[2])
+    elif len(sys.argv) >= 3 and sys.argv[1] == "--isolate":
+        run_isolated([n for n in sys.argv[2].split(",") if n])
+    else:
+        main()

@@ -2348,6 +2348,98 @@ def q_line_dedup(spark, sf_dir):
     )
 
 
+def _gopher_seeded_docs(spark, sf_dir):
+    """Documents with deterministic rule-triggering mutations applied
+    identically on both engines (the synthetic corpus is single-space
+    text with no newlines/#/ellipses, so unseeded it would exercise
+    only the word-count and stopword rules): bullet lines, ellipsis
+    lines, # runs, a too-short doc class, and a stopword tail that
+    lets half the corpus pass the stopword floor. CASE order matters
+    and is mirrored in the oracle."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 4, F.lit("zz zz zz"))
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit("\n- bullet one\n* bullet two\n• bullet three"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" wait...\nto be continued...")),
+        )
+        .when(
+            F.col("doc_id") % 11 == 3,
+            F.concat(F.col("text"), F.lit(" ## #### #")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.col("text"), F.lit(" of the and that have with")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def q_gopher_quality(spark, sf_dir):
+    """Gopher rule-set quality filter (Rae et al. 2021 table A1): the
+    full per-doc signal vector + combined keep flag, JVM higher-order
+    functions only (projection plan, no shuffle). The oracle replays
+    every signal relationally over the identically-seeded corpus."""
+    from myaku_spark.operators.textstats import gopher_quality
+
+    return gopher_quality(_gopher_seeded_docs(spark, sf_dir))
+
+
+PR_OUTLINKS = 5   # pagerank gate: candidate outlinks per doc
+PR_ITERS = 3      # pagerank gate: unrolled power iterations
+PR_K = 20         # pagerank gate: top-k by rank
+
+
+def q_pagerank_topk(spark, sf_dir):
+    """Link-authority ranking (damped PageRank, the crawl-frontier
+    prioritization signal): a deterministic synthetic link graph is
+    derived from doc_ids on BOTH engines (doc d links to
+    (31d + 7 + 17j) mod N for j in 0..4, self-links dropped), then 3
+    power iterations run — as a persisted DataFrame loop here, as
+    unrolled CTEs in the oracle. Ranks are normalized by N and rounded
+    to 6 dp BEFORE the top-k order so the boundary is deterministic
+    across engines."""
+    from myaku_spark.operators.graph import pagerank
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    edges = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(PR_OUTLINKS - 1))
+            ).alias("j"),
+        )
+        .select(
+            "src",
+            ((F.col("src") * 31 + 7 + 17 * F.col("j")) % n).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    pr = pagerank(
+        edges,
+        nodes=docs.select(F.col("doc_id").alias("node")),
+        n_iter=PR_ITERS,
+    )
+    return (
+        pr.select("node", F.round(F.col("rank") * n, 6).alias("rank_n"))
+        .orderBy(F.desc("rank_n"), "node")
+        .limit(PR_K)
+    )
+
+
 QUERIES = {
     # The driver's correctness gate reports the first 50 entries in dict
     # order; with 70 queries the surface is rotated round-to-round so every
@@ -2355,6 +2447,8 @@ QUERIES = {
     # per-round report matrix lives in COVERAGE.md §driver-report-ledger).
     # These 15 were green-but-unreported in CORRECTNESS_r04 (independently
     # verified via scripts/check_oracle.py), so round 5 leads with them.
+    "gopher_quality": q_gopher_quality,
+    "pagerank_topk": q_pagerank_topk,
     "kmeans_clusters": q_kmeans_clusters,
     "cluster_sample": q_cluster_sample,
     "lm_perplexity": q_lm_perplexity,
@@ -3793,3 +3887,154 @@ SELECT doc_id,
        sum(b) * 1.0 / count(*) < {BP_MAX_RATIO} AS keep
 FROM fl GROUP BY doc_id
 """
+
+
+# Gopher rule set (q_gopher_quality): the seeded-corpus CASE chain is
+# mirrored verbatim, then every signal replays relationally — words =
+# regexp-split on \s+ with empties dropped (matching F.split + filter),
+# lines = split on chr(10) with blank lines dropped, leftmost
+# non-overlapping replace() for the #/... counts on both engines.
+ORACLE["gopher_quality"] = """
+WITH seeded AS (
+  SELECT doc_id,
+    CASE
+      WHEN doc_id % 13 = 4 THEN 'zz zz zz'
+      WHEN doc_id % 7 = 0 THEN text || chr(10) || '- bullet one'
+           || chr(10) || '* bullet two' || chr(10) || '• bullet three'
+      WHEN doc_id % 5 = 0 THEN text || ' wait...' || chr(10)
+           || 'to be continued...'
+      WHEN doc_id % 11 = 3 THEN text || ' ## #### #'
+      ELSE text
+    END AS t0
+  FROM documents
+),
+seeded2 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0
+         THEN t0 || ' of the and that have with'
+         ELSE t0 END AS txt
+  FROM seeded
+),
+sig AS (
+  SELECT doc_id, txt,
+    list_filter(regexp_split_to_array(txt, '\\s+'),
+                w -> length(w) > 0) AS words,
+    list_filter(string_split(txt, chr(10)),
+                l -> length(trim(l)) > 0) AS lines
+  FROM seeded2
+),
+calc AS (
+  SELECT doc_id,
+    CAST(len(words) AS BIGINT) AS n_words,
+    CAST(greatest(len(words), 1) AS DOUBLE) AS nw,
+    CAST(greatest(len(lines), 1) AS DOUBLE) AS nl,
+    length(list_aggregate(words, 'string_agg', '')) AS wchars,
+    len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+      AS n_alpha,
+    (length(txt) - length(replace(txt, '#', ''))) AS n_hash,
+    (length(txt) - length(replace(txt, '...', ''))) / 3.0 AS n_ell,
+    len(list_filter(lines, l ->
+        starts_with(trim(l), '- ') OR starts_with(trim(l), '* ')
+        OR starts_with(trim(l), '•'))) AS n_bullet,
+    len(list_filter(lines, l -> ends_with(rtrim(l), '...')))
+      AS n_ell_line,
+    len(list_intersect(
+        list_distinct(list_transform(words, w -> lower(w))),
+        ['the','be','to','of','and','that','have','with']))
+      AS stop_hits
+  FROM sig
+)
+SELECT doc_id, n_words,
+  round(wchars / nw, 4) AS mean_word_len,
+  round(n_alpha / nw, 4) AS alpha_word_frac,
+  round(n_hash / nw, 4) AS hash_ratio,
+  round(n_ell / nw, 4) AS ellipsis_ratio,
+  round(n_bullet / nl, 4) AS bullet_line_frac,
+  round(n_ell_line / nl, 4) AS ellipsis_line_frac,
+  CAST(stop_hits AS INT) AS stopword_hits,
+  (n_words >= 50 AND n_words <= 100000
+   AND wchars / nw >= 3.0 AND wchars / nw <= 10.0
+   AND n_hash / nw <= 0.1 AND n_ell / nw <= 0.1
+   AND n_bullet / nl <= 0.9 AND n_ell_line / nl <= 0.3
+   AND n_alpha / nw >= 0.8 AND stop_hits >= 2) AS kept
+FROM calc
+"""
+
+
+def _pagerank_sql(outlinks: int, iters: int, k: int) -> str:
+    """Unrolled damped power iteration over the deterministic synthetic
+    link graph (doc d → (31d + 7 + 17j) mod N, self-links dropped) —
+    the relational twin of operators/graph.pagerank. edges/deg are
+    MATERIALIZED (referenced once per iteration; DuckDB would inline
+    them per reference otherwise)."""
+    its = []
+    prev = "r0"
+    for t in range(1, iters + 1):
+        its.append(f"""
+r{t} AS (
+  SELECT d.doc_id AS node,
+         0.15 / (SELECT n FROM nn)
+         + 0.85 * coalesce(sum(r.rank / g.outdeg), 0) AS rank
+  FROM docs d
+  LEFT JOIN edges e ON e.dst = d.doc_id
+  LEFT JOIN {prev} r ON r.node = e.src
+  LEFT JOIN deg g ON g.src = e.src
+  GROUP BY d.doc_id
+)""")
+        prev = f"r{t}"
+    return f"""
+WITH docs AS (SELECT doc_id FROM documents),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM docs),
+nb AS (SELECT count(*) AS nb FROM docs),
+edges AS MATERIALIZED (
+  SELECT d.doc_id AS src,
+         (d.doc_id * 31 + 7 + 17 * j.j) % (SELECT nb FROM nb) AS dst
+  FROM docs d, generate_series(0, {outlinks - 1}) AS j(j)
+  WHERE (d.doc_id * 31 + 7 + 17 * j.j) % (SELECT nb FROM nb)
+        != d.doc_id
+),
+deg AS MATERIALIZED (
+  SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src
+),
+r0 AS (SELECT doc_id AS node, 1.0 / (SELECT n FROM nn) AS rank FROM docs),
+{",".join(its)}
+SELECT node, round(rank * (SELECT n FROM nn), 6) AS rank_n
+FROM {prev}
+ORDER BY rank_n DESC, node
+LIMIT {k}
+"""
+
+
+ORACLE["pagerank_topk"] = _pagerank_sql(PR_OUTLINKS, PR_ITERS, PR_K)
+
+
+# --- round-6 report-window rotation (COVERAGE.md §driver-report-ledger) ------
+# The driver reports the first 50 dict entries. Lead with the 21 keys
+# that had no CORRECTNESS_r05 row (rotated out last round, re-verified
+# locally) + the 2 new r6 queries, then the least-covered r05-window
+# keys; the tail is the veterans with 4-5 prior driver rows.
+_R06_LEAD = [
+    # new this round
+    "gopher_quality", "pagerank_topk",
+    # no r05 driver row (21)
+    "ann_lsh_topk", "decontaminate", "doc_fingerprint", "dup_clusters",
+    "embedding_near_dup", "embedding_topk", "events_windowed",
+    "incremental_merge", "ivf_topk", "lang_distribution",
+    "minhash_lsh_pairs", "minhash_signature", "ngram_jaccard_pairs",
+    "pack_sequences", "pii_redaction", "quality_filter",
+    "quality_signals", "repetition_signals", "simhash_pairs",
+    "token_counts", "weighted_sample",
+    # least-covered keys from the r05 window (fill to 50)
+    "fuzzy_terms", "line_dedup", "prefix_terms", "segment_search_e2e",
+    "semantic_dedup", "substring_spans", "blog_rollup", "boilerplate",
+    "cluster_sample", "conj_interp_rollup", "curation_funnel",
+    "fli_field_families", "fli_rollup", "interp_position_map",
+    "kmeans_clusters", "lang_id", "lm_perplexity", "media_features",
+    "pagination_page2", "phrase_search", "pq_adc_topk",
+    "proximity_search", "rrf_fusion", "tpch_filter_revenue",
+    "tpch_order_priority", "tpch_returned_topk", "extraction_parity",
+]
+assert set(_R06_LEAD) <= set(QUERIES), sorted(set(_R06_LEAD) - set(QUERIES))
+QUERIES = {k: QUERIES[k] for k in _R06_LEAD} | {
+    k: v for k, v in QUERIES.items() if k not in set(_R06_LEAD)
+}

@@ -343,3 +343,100 @@ def weighted_sample(
     pushes past scans, no shuffle, identical at any scale."""
     u = uniform_hash(F.col(key_col), salt)
     return df.filter(u < rate_column(weights, domain_col, default_rate))
+
+
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", table A1) — the
+# full per-document rule set used by MassiveText-style webtext
+# curation. Thresholds are the published ones.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_HASH_RATIO = 0.1          # '#' symbols per word
+GOPHER_MAX_ELLIPSIS_RATIO = 0.1      # '...' occurrences per word
+GOPHER_MAX_BULLET_LINE_FRAC = 0.9    # lines starting with a bullet
+GOPHER_MAX_ELLIPSIS_LINE_FRAC = 0.3  # lines ending with '...'
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8     # words containing >=1 letter
+GOPHER_MIN_STOPWORD_HITS = 2         # distinct required stopwords seen
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc Gopher rule signals + the combined keep flag.
+
+    Pure projection (JVM higher-order functions over the split word /
+    line arrays — no UDF, no shuffle, pushes past the scan like every
+    other textstats filter); a NULL text fails the word-count floor and
+    lands kept=false with zeroed signals."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(text, r"\s+"), lambda w: F.length(w) > 0)
+    n_words = F.size(words)
+    nw = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_wl = F.length(F.concat_ws("", words)) / nw
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / nw
+    )
+    hash_ratio = (
+        (F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit(""))))
+        / nw
+    )
+    ellipsis_ratio = (
+        (
+            F.length(text)
+            - F.length(F.replace(text, F.lit("..."), F.lit("")))
+        )
+        / F.lit(3.0)
+        / nw
+    )
+    lines = F.filter(
+        F.split(text, r"\n"), lambda l: F.length(F.trim(l)) > 0
+    )
+    nl = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.trim(l).startswith("- ")
+                | F.trim(l).startswith("* ")
+                | F.trim(l).startswith("•"),
+            )
+        )
+        / nl
+    )
+    ell_line_frac = (
+        F.size(F.filter(lines, lambda l: F.rtrim(l).endswith("...")))
+        / nl
+    )
+    stop = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(words, F.lower)), stop
+        )
+    )
+    keep = (
+        (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS)
+        & (mean_wl >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_wl <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (hash_ratio <= GOPHER_MAX_HASH_RATIO)
+        & (ellipsis_ratio <= GOPHER_MAX_ELLIPSIS_RATIO)
+        & (bullet_frac <= GOPHER_MAX_BULLET_LINE_FRAC)
+        & (ell_line_frac <= GOPHER_MAX_ELLIPSIS_LINE_FRAC)
+        & (alpha_frac >= GOPHER_MIN_ALPHA_WORD_FRAC)
+        & (stop_hits >= GOPHER_MIN_STOPWORD_HITS)
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(alpha_frac, 4).alias("alpha_word_frac"),
+        F.round(hash_ratio, 4).alias("hash_ratio"),
+        F.round(ellipsis_ratio, 4).alias("ellipsis_ratio"),
+        F.round(bullet_frac, 4).alias("bullet_line_frac"),
+        F.round(ell_line_frac, 4).alias("ellipsis_line_frac"),
+        stop_hits.cast("int").alias("stopword_hits"),
+        keep.alias("kept"),
+    )

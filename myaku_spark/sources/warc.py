@@ -89,26 +89,49 @@ def _parse_warc_ts(ts: str | None):
     return d
 
 
-def _gz_chunks(data: bytes, max_chunk: int = 1 << 20):
+def _gz_chunks(
+    data: bytes, max_chunk: int = 1 << 20, in_chunk: int = 1 << 20
+):
     """Decompressed chunks of a (possibly multi-member) gzip payload.
     Streaming: at most ``max_chunk`` of decompressed output exists per
     step, so a 1 GB .warc.gz shard never materializes its ~5x inflated
-    text — the consumer frames records off the stream."""
+    text — the consumer frames records off the stream.
+
+    Input is fed in ``in_chunk`` slices of a memoryview, NOT the whole
+    remaining payload per member: decompressobj.unused_data returns a
+    COPY of everything after a member's end, so feeding the full tail
+    made member-per-record shards quadratic in shard size (~37k members
+    in a 200 MB Common-Crawl-style shard re-copied ~100 MB each — the
+    r6 bench caught it). With bounded slices, unused_data is at most
+    one slice and the scan is linear."""
     import zlib
 
-    while data:
+    mv = memoryview(data)
+    pos = 0
+    carry: bytes = b""  # unused_data spillover from the previous member
+    while carry or pos < len(mv):
         d = zlib.decompressobj(31)  # 31 = gzip wrapper
-        tail: bytes = data
         while True:
-            out = d.decompress(tail, max_chunk)
-            if out:
-                yield out
-            if d.eof:
-                data = d.unused_data  # next member (or b"")
-                break
-            tail = d.unconsumed_tail
-            if not tail:
+            if carry:
+                feed = carry
+                carry = b""
+            elif pos < len(mv):
+                feed = mv[pos : pos + in_chunk]
+                pos += len(feed)
+            else:
                 return  # input exhausted mid-member: truncated shard
+            while True:
+                out = d.decompress(feed, max_chunk)
+                if out:
+                    yield out
+                if d.eof:
+                    carry = d.unused_data  # ≤ one input slice
+                    break
+                feed = d.unconsumed_tail
+                if not feed:
+                    break
+            if d.eof:
+                break  # next member (or end of payload)
 
 
 def _record_tuple(path: str, h: dict[str, str], block: bytes) -> tuple:
@@ -190,16 +213,32 @@ def _parse_stream(path: str, chunks):
         yield _record_tuple(path, h, block)
 
 
-def parse_warc_records(path: str, data: bytes) -> list[tuple]:
-    """All records of one WARC payload as WARC_SCHEMA tuples. Gzipped
-    payloads decompress as a stream (``_gz_chunks``): peak memory is
-    the compressed bytes (which the binaryFile source holds anyway)
-    plus one record — the inflated shard never fully materializes."""
+def iter_warc_records(path: str, data: bytes):
+    """Records of one WARC payload as WARC_SCHEMA tuples, streamed.
+    Gzipped payloads decompress as a stream (``_gz_chunks``): peak
+    memory is the compressed bytes (which the binaryFile source holds
+    anyway) plus one record — the inflated shard never fully
+    materializes, PROVIDED the consumer drains instead of listing."""
     if path.endswith(".gz") or data[:2] == b"\x1f\x8b":
         chunks = _gz_chunks(data)
     else:
         chunks = iter((data,))
-    return list(_parse_stream(path, chunks))
+    return _parse_stream(path, chunks)
+
+
+def parse_warc_records(path: str, data: bytes) -> list[tuple]:
+    """All records of one WARC payload, materialized (small shards /
+    tests; the Spark reader drains ``iter_warc_records`` in bounded
+    batches instead)."""
+    return list(iter_warc_records(path, data))
+
+
+# read_warc ships one Arrow batch per ~this much inflated body data, so
+# a worker's live set is compressed blob + ONE batch — not compressed +
+# the whole inflated shard (~5x on web text). 64 MB ≈ Spark's own
+# maxRecordsPerBatch ballpark at web-page row sizes.
+WARC_BATCH_BYTES = 64 << 20
+WARC_BATCH_ROWS = 10_000
 
 
 def read_warc(
@@ -220,11 +259,25 @@ def read_warc(
             "warc_path", "url", "warc_ts", "warc_type",
             "http_status", "content_type", "body",
         ]
+        # Bounded-batch drain (r6): listing a whole shard's records
+        # before the first yield held compressed + inflated bytes per
+        # task; yielding every WARC_BATCH_BYTES of body keeps the live
+        # set at compressed + one batch however big the shard is.
         for pdf in it:
             rows: list[tuple] = []
+            nbytes = 0
             for p, c in zip(pdf["path"], pdf["content"]):
-                rows.extend(parse_warc_records(str(p), bytes(c)))
-            yield pd.DataFrame(rows, columns=cols)
+                for rec in iter_warc_records(str(p), bytes(c)):
+                    rows.append(rec)
+                    nbytes += len(rec[6] or b"")
+                    if (
+                        nbytes >= WARC_BATCH_BYTES
+                        or len(rows) >= WARC_BATCH_ROWS
+                    ):
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows, nbytes = [], 0
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(gen, WARC_SCHEMA)
 

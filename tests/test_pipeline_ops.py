@@ -1054,3 +1054,94 @@ def test_semantic_dedup_max_cluster_guard(spark):
         df, cents, threshold=0.98, max_cluster=10_000
     ).collect()
     assert sorted(r.vec_id for r in out2 if r.kept) == [0]
+
+
+def test_gopher_quality_python_twin(spark):
+    import re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r4(x):  # Spark/DuckDB round() is half-up; Python's is banker's
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+        )
+
+    from myaku_spark.operators.textstats import (
+        GOPHER_STOPWORDS,
+        gopher_quality,
+    )
+
+    texts = {
+        # passes everything: 60 plain words + stopword tail
+        1: " ".join(f"word{i}" for i in range(60)) + " of the and that",
+        # too short
+        2: "tiny doc of the",
+        # bullet-heavy: every line a bullet
+        3: "\n".join(f"- item {i} of the list and more" for i in range(8)),
+        # ellipsis lines + inline ellipses
+        4: (" ".join(f"w{i}" for i in range(60))
+            + " of the and...\nmore to come...\nfinal line..."),
+        # hash spam
+        5: " ".join("#" for _ in range(80)) + " of the and that",
+        # numeric words kill the alpha fraction
+        6: " ".join(str(i) for i in range(70)) + " of the and that",
+        # NULL text
+        7: None,
+        # long mean word length
+        8: " ".join("x" * 15 for _ in range(60)) + " of the and that",
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {r.doc_id: r.asDict() for r in gopher_quality(df).collect()}
+
+    for d, t in texts.items():
+        t = t or ""
+        words = [w for w in re.split(r"\s+", t) if w]
+        nw = max(len(words), 1)
+        lines = [l for l in t.split("\n") if l.strip()]
+        nl = max(len(lines), 1)
+        mwl = sum(len(w) for w in words) / nw
+        alpha = sum(1 for w in words if re.search("[A-Za-z]", w)) / nw
+        hashr = t.count("#") / nw
+        # leftmost non-overlapping, like replace()
+        ellr = (len(t) - len(t.replace("...", ""))) / 3.0 / nw
+        bullet = sum(
+            1 for l in lines
+            if l.strip().startswith(("- ", "* ", "•"))
+        ) / nl
+        ell_line = sum(1 for l in lines if l.rstrip().endswith("...")) / nl
+        stops = len(
+            {w.lower() for w in words} & set(GOPHER_STOPWORDS)
+        )
+        keep = (
+            50 <= len(words) <= 100_000
+            and 3.0 <= mwl <= 10.0
+            and hashr <= 0.1
+            and ellr <= 0.1
+            and bullet <= 0.9
+            and ell_line <= 0.3
+            and alpha >= 0.8
+            and stops >= 2
+        )
+        g = got[d]
+        assert g["n_words"] == len(words), d
+        assert abs(g["mean_word_len"] - r4(mwl)) < 1e-9, d
+        assert abs(g["alpha_word_frac"] - r4(alpha)) < 1e-9, d
+        assert abs(g["hash_ratio"] - r4(hashr)) < 1e-9, d
+        assert abs(g["ellipsis_ratio"] - r4(ellr)) < 1e-9, d
+        assert abs(g["bullet_line_frac"] - r4(bullet)) < 1e-9, d
+        assert abs(g["ellipsis_line_frac"] - r4(ell_line)) < 1e-9, d
+        assert g["stopword_hits"] == stops, d
+        assert g["kept"] == keep, d
+    # the designed verdicts actually exercised both branches of each rule
+    assert got[1]["kept"] is True
+    for d in (2, 3, 5, 6, 7, 8):
+        assert got[d]["kept"] is False, d
+
+
+def test_gopher_quality_projection_only_plan(spark):
+    from myaku_spark.operators.textstats import gopher_quality
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = gopher_quality(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan and "Aggregate" not in plan

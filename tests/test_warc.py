@@ -258,3 +258,60 @@ def test_warc_to_index_extraction_parity(spark, tmp_path):
     }
     assert native == archived
     assert len(archived) > 0
+
+
+def test_read_warc_bounded_batches_identical(spark, tmp_path, monkeypatch):
+    # r6: read_warc drains the record stream in bounded Arrow batches
+    # (compressed + ONE batch live per task, not compressed + the whole
+    # inflated shard). Forcing tiny batch caps must change only the
+    # batching, never the rows.
+    import myaku_spark.sources.warc as w
+
+    recs = [
+        warc_record_bytes(
+            f"http://b.example/{i}", "2026-01-01T00:00:00Z",
+            f"<html>{'x' * (i % 50)}</html>".encode(),
+        )
+        for i in range(57)
+    ]
+    (tmp_path / "s.warc.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in recs)
+    )
+
+    def rows():
+        return sorted(
+            (r.url, bytes(r.body))
+            for r in read_warc(spark, str(tmp_path)).collect()
+        )
+
+    want = rows()
+    assert len(want) == 57
+    monkeypatch.setattr(w, "WARC_BATCH_ROWS", 3)
+    monkeypatch.setattr(w, "WARC_BATCH_BYTES", 1)
+    assert rows() == want
+
+
+def test_gz_chunks_bounded_input_slices():
+    # r6: _gz_chunks must be LINEAR in shard size for member-per-record
+    # layouts (unused_data copies the tail; feeding bounded slices caps
+    # the copy at one slice). Sweep tiny in/out chunk sizes over a
+    # multi-member payload — framing must be exact at every boundary.
+    import gzip as gz
+
+    from myaku_spark.sources.warc import _gz_chunks
+
+    members = [
+        (f"m{i}:".encode() + bytes([65 + i % 26]) * (i * 13 % 257))
+        for i in range(120)
+    ]
+    payload = b"".join(gz.compress(m) for m in members)
+    want = b"".join(members)
+    for in_chunk in (5, 64, 1 << 20):
+        for max_chunk in (7, 1 << 20):
+            got = b"".join(
+                _gz_chunks(payload, max_chunk=max_chunk, in_chunk=in_chunk)
+            )
+            assert got == want, (in_chunk, max_chunk)
+    # truncated mid-member still terminates cleanly
+    got = b"".join(_gz_chunks(payload[:-30], in_chunk=11))
+    assert want.startswith(got)
