@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "phrase_search",
     "curation_funnel",
     "line_dedup",
+    "gopher_quality",
+    "pagerank_topk",
 ]
 
 

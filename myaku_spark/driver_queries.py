@@ -2440,6 +2440,30 @@ def q_pagerank_topk(spark, sf_dir):
     )
 
 
+CQ_PROBS = (0.1, 0.5, 0.9, 0.99)  # corpus-quantiles gate probabilities
+
+
+def q_corpus_quantiles(spark, sf_dir):
+    """Per-language exact length quantiles (corpus profiling: the
+    distribution snapshot a curation run records before/after each
+    filter stage). Spark's percentile() and DuckDB's quantile_cont()
+    both do linear interpolation on the sorted values, so the gate
+    checks them value-equal at 4 dp."""
+    docs = _docs(spark, sf_dir)
+    qarr = ", ".join(f"{p}D" for p in CQ_PROBS)
+    agg = docs.groupBy("lang").agg(
+        F.expr(f"percentile(n_chars, array({qarr}))").alias("qs")
+    )
+    probs = F.array(*[F.lit(float(p)) for p in CQ_PROBS])
+    return agg.select(
+        "lang", F.posexplode("qs").alias("i", "v")
+    ).select(
+        "lang",
+        F.element_at(probs, F.col("i") + 1).alias("p"),
+        F.round("v", 4).alias("n_chars_q"),
+    )
+
+
 QUERIES = {
     # The driver's correctness gate reports the first 50 entries in dict
     # order; with 70 queries the surface is rotated round-to-round so every
@@ -4035,6 +4059,27 @@ _R06_LEAD = [
     "tpch_order_priority", "tpch_returned_topk", "extraction_parity",
 ]
 assert set(_R06_LEAD) <= set(QUERIES), sorted(set(_R06_LEAD) - set(QUERIES))
+QUERIES = {k: QUERIES[k] for k in _R06_LEAD} | {
+    k: v for k, v in QUERIES.items() if k not in set(_R06_LEAD)
+}
+
+
+QUERIES["corpus_quantiles"] = q_corpus_quantiles
+ORACLE["corpus_quantiles"] = f"""
+WITH q AS (
+  SELECT lang,
+         quantile_cont(n_chars, [{", ".join(str(p) for p in CQ_PROBS)}])
+           AS qs
+  FROM documents GROUP BY lang
+)
+SELECT lang,
+       CAST([{", ".join(str(p) for p in CQ_PROBS)}][i] AS DOUBLE) AS p,
+       round(qs[i], 4) AS n_chars_q
+FROM q, generate_series(1, {len(CQ_PROBS)}) AS t(i)
+"""
+# swap into the round-6 report window in place of the most-covered
+# veteran in the lead list (extraction_parity: 4 prior driver rows)
+_R06_LEAD[_R06_LEAD.index("extraction_parity")] = "corpus_quantiles"
 QUERIES = {k: QUERIES[k] for k in _R06_LEAD} | {
     k: v for k, v in QUERIES.items() if k not in set(_R06_LEAD)
 }
