@@ -241,16 +241,11 @@ WARC_BATCH_BYTES = 64 << 20
 WARC_BATCH_ROWS = 10_000
 
 
-def read_warc(
-    spark: SparkSession, path: str, pattern: str = "*.warc*"
-) -> DataFrame:
-    """Every WARC record under ``path`` (dir or file; plain or .gz) as
-    (warc_path, url, warc_ts, warc_type, http_status, content_type,
-    body). One file = one task; parsing stays in the executors."""
-    reader = spark.read.format("binaryFile")
-    if pattern:
-        reader = reader.option("pathGlobFilter", pattern)
-    files = reader.load(path).select("path", "content")
+def warc_records_df(files: DataFrame) -> DataFrame:
+    """binaryFile rows (path, content) → WARC_SCHEMA record rows.
+    The shared parse kernel of batch ``read_warc`` and the streaming
+    ``stream_warc_to_index`` micro-batches."""
+    files = files.select("path", "content")
 
     def gen(it):
         import pandas as pd
@@ -280,6 +275,18 @@ def read_warc(
                 yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(gen, WARC_SCHEMA)
+
+
+def read_warc(
+    spark: SparkSession, path: str, pattern: str = "*.warc*"
+) -> DataFrame:
+    """Every WARC record under ``path`` (dir or file; plain or .gz) as
+    (warc_path, url, warc_ts, warc_type, http_status, content_type,
+    body). One file = one task; parsing stays in the executors."""
+    reader = spark.read.format("binaryFile")
+    if pattern:
+        reader = reader.option("pathGlobFilter", pattern)
+    return warc_records_df(reader.load(path))
 
 
 def write_wet(
