@@ -3940,10 +3940,12 @@ seeded2 AS (
   FROM seeded
 ),
 sig AS (
-  SELECT doc_id, txt,
-    list_filter(regexp_split_to_array(txt, '\\s+'),
+  -- coalesce mirrors the Spark side's NULL-text handling (NULL text
+  -- lands kept=false with zeroed signals, not NULL signals)
+  SELECT doc_id, coalesce(txt, '') AS txt,
+    list_filter(regexp_split_to_array(coalesce(txt, ''), '\\s+'),
                 w -> length(w) > 0) AS words,
-    list_filter(string_split(txt, chr(10)),
+    list_filter(string_split(coalesce(txt, ''), chr(10)),
                 l -> length(trim(l)) > 0) AS lines
   FROM seeded2
 ),
@@ -3952,7 +3954,10 @@ calc AS (
     CAST(len(words) AS BIGINT) AS n_words,
     CAST(greatest(len(words), 1) AS DOUBLE) AS nw,
     CAST(greatest(len(lines), 1) AS DOUBLE) AS nl,
-    length(list_aggregate(words, 'string_agg', '')) AS wchars,
+    -- list_aggregate on an EMPTY list returns NULL (zero-word doc):
+    -- coalesce so mean_word_len lands 0.0 like concat_ws('') in Spark
+    length(coalesce(list_aggregate(words, 'string_agg', ''), ''))
+      AS wchars,
     len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
       AS n_alpha,
     (length(txt) - length(replace(txt, '#', ''))) AS n_hash,
@@ -4058,12 +4063,6 @@ _R06_LEAD = [
     "proximity_search", "rrf_fusion", "tpch_filter_revenue",
     "tpch_order_priority", "tpch_returned_topk", "extraction_parity",
 ]
-assert set(_R06_LEAD) <= set(QUERIES), sorted(set(_R06_LEAD) - set(QUERIES))
-QUERIES = {k: QUERIES[k] for k in _R06_LEAD} | {
-    k: v for k, v in QUERIES.items() if k not in set(_R06_LEAD)
-}
-
-
 QUERIES["corpus_quantiles"] = q_corpus_quantiles
 ORACLE["corpus_quantiles"] = f"""
 WITH q AS (
@@ -4080,6 +4079,7 @@ FROM q, generate_series(1, {len(CQ_PROBS)}) AS t(i)
 # swap into the round-6 report window in place of the most-covered
 # veteran in the lead list (extraction_parity: 4 prior driver rows)
 _R06_LEAD[_R06_LEAD.index("extraction_parity")] = "corpus_quantiles"
+assert set(_R06_LEAD) <= set(QUERIES), sorted(set(_R06_LEAD) - set(QUERIES))
 QUERIES = {k: QUERIES[k] for k in _R06_LEAD} | {
     k: v for k, v in QUERIES.items() if k not in set(_R06_LEAD)
 }

@@ -518,10 +518,10 @@ def strip_common_lines(
     )
 
 
-"""Plan-size threshold above which repeated_substring_spans' 'auto'
-gram_key switches from the raw L-gram to its xxhash64: past this
-estimated input size, the ~L-fold shuffle-byte saving outweighs raw
-exactness (collision odds stay ~2^-64 per gram pair)."""
+# Plan-size threshold above which repeated_substring_spans' 'auto'
+# gram_key switches from the raw L-gram to its xxhash64: past this
+# estimated input size, the ~L-fold shuffle-byte saving outweighs raw
+# exactness (collision odds stay ~2^-64 per gram pair).
 SUBSTRING_HASH_GRAM_BYTES = 64 << 20
 
 

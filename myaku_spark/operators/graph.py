@@ -98,6 +98,11 @@ def pagerank(
     defaults to the set of edge endpoints. One count() action fixes N;
     everything else is joins/aggs. r_{t+1}(v) = (1-d)/N +
     d * Σ_{(u,v)∈E} r_t(u)/outdeg(u).
+
+    The returned frame IS the last iteration's persisted cache (that
+    persist is what keeps lineage O(1) instead of O(iters) — dropping
+    it would make any consumer recompute the whole unpersisted chain).
+    Long-lived callers should ``.unpersist()`` it once consumed.
     """
     if nodes is None:
         nodes = (
@@ -108,7 +113,9 @@ def pagerank(
     nodes = nodes.select("node").persist()
     n = nodes.count()
     if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
+        out = nodes.withColumn("rank", F.lit(0.0))
+        nodes.unpersist()
+        return out
     deg = edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("double").alias("outdeg")
     )

@@ -501,7 +501,11 @@ def batch_phrase_match(
     condition evals); 'equi' by the exploded-term equi-join + count
     match (shuffles Σ df light rows — N-independent); 'auto' picks
     bnlj for batches ≤ BNLJ_GATE_MAX_QUERIES (``n_queries`` hint
-    avoids the count() action when the caller knows the batch size).
+    avoids the count() action when the caller knows the batch size;
+    the hint is a PRE-filter upper bound — when the hint exceeds the
+    threshold but the post-filter batch would not, the equi gate runs
+    where bnlj would have: same rows, one avoidable shuffle; pass no
+    hint to have the gate count the filtered batch exactly).
     Both gates are result-identical (tested). Queries with an empty
     terms array are dropped up front: the bnlj containment gate is
     vacuously true for them (every doc matches) and the chain fold's

@@ -401,10 +401,10 @@ def semantic_dedup(
     the boundary is engine-independent.
 
     The (id, cluster) assignment is persisted (two longs per row) so
-    the O(n·k·dim) assignment pass runs ONCE across its three plan
-    branches (both self-join sides + the output) instead of three
-    times; callers processing huge corpora can unpersist after
-    materializing the result.
+    the O(n·k·dim) assignment pass runs ONCE across its four plan
+    branches (the cluster-size agg, both self-join sides, and the
+    output) instead of four times; callers processing huge corpora can
+    unpersist after materializing the result.
 
     ``max_cluster`` (r5 verdict #3 — the lsh_candidate_pairs
     ``max_bucket`` analog): a degenerate clustering (tiny k, or a

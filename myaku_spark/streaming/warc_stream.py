@@ -37,6 +37,7 @@ def stream_warc_to_index(
     pattern: str = "*.warc*",
     max_files_per_trigger: int = 4,
     available_now: bool = True,
+    bootstrap_n_groups: int = 1,
 ):
     """Start (and with available_now=True, drain) the shard stream.
 
@@ -44,7 +45,15 @@ def stream_warc_to_index(
     ``max_files_per_trigger`` whole shards — at ~1 GB Common Crawl
     shard size that bounds a micro-batch's input, and the bounded-
     batch reader keeps per-task memory at compressed + one Arrow
-    batch regardless of shard size."""
+    batch regardless of shard size.
+
+    An EMPTY ``index_dir`` bootstraps: the first non-empty micro-batch
+    runs a full ``build_index`` (``bootstrap_n_groups`` groups — delta
+    groups are per-micro-batch afterwards, so the base group count
+    only shapes the initial shard set), and every later batch takes
+    the incremental path. ``incremental_update`` requires an existing
+    index, so without this the first batch of a fresh deployment would
+    fail on the missing build_meta."""
     stream = (
         spark.readStream.format("binaryFile")
         # streaming sources require an explicit schema; binaryFile's is
@@ -62,6 +71,16 @@ def stream_warc_to_index(
         if batch_df.isEmpty():
             return
         pages = warc_to_pages(warc_records_df(batch_df))
+        from myaku_spark.plans import catalog
+
+        if not catalog.parquet_exists(f"{index_dir}/build_meta"):
+            from myaku_spark.plans.build_index import build_index
+
+            build_index(
+                spark, pages, index_dir,
+                n_groups=bootstrap_n_groups, now=now, lexicon=lexicon,
+            )
+            return
         incremental_update(
             spark, index_dir, pages, now=now, lexicon=lexicon
         )

@@ -285,3 +285,53 @@ def test_warc_shard_stream_incrementally_indexes(spark, tmp_path):
     q2.awaitTermination(120)
     assert spark.read.parquet(f"{idx}/docs").count() == n1
     allp.unpersist()
+
+
+def test_warc_shard_stream_bootstraps_empty_index(spark, tmp_path):
+    """A fresh deployment needs no batch pre-build: the first non-empty
+    micro-batch full-builds the index, later batches take the
+    incremental path (review finding r6)."""
+    import gzip
+
+    from myaku_spark.sources.warc import warc_record_bytes
+    from myaku_spark.streaming.warc_stream import stream_warc_to_index
+
+    wdir = tmp_path / "cc0"
+    wdir.mkdir()
+    idx = str(tmp_path / "fresh_idx")
+    ckpt = str(tmp_path / "fresh_ckpt")
+
+    allp = synth_pages_df(spark, 24, partitions=2).orderBy("url").persist()
+    rows = allp.collect()
+
+    def shard(name, rs):
+        (wdir / name).write_bytes(
+            b"".join(
+                gzip.compress(
+                    warc_record_bytes(
+                        r.url, r.warc_ts.isoformat() + "Z", bytes(r.html)
+                    )
+                )
+                for r in rs
+            )
+        )
+
+    shard("cc-00000.warc.gz", rows[:12])
+    shard("cc-00001.warc.gz", rows[12:])
+
+    # maxFilesPerTrigger=1: batch 0 bootstraps (full build), batch 1
+    # goes through incremental_update against the fresh index.
+    q = stream_warc_to_index(
+        spark, str(wdir), idx, ckpt, now=NOW, max_files_per_trigger=1
+    )
+    q.awaitTermination(240)
+
+    assert spark.read.parquet(f"{idx}/docs").count() == 24
+    s = IndexSearcher(spark, idx)
+    term = (
+        spark.read.parquet(f"{idx}/term_stats")
+        .groupBy("term").agg(F.sum("df").alias("df"))
+        .orderBy(F.desc("df")).limit(1).collect()[0].term
+    )
+    assert s.search([term], k=30)
+    allp.unpersist()
