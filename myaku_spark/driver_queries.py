@@ -2440,6 +2440,50 @@ def q_pagerank_topk(spark, sf_dir):
     )
 
 
+PD_MIN_DOCS = 3    # paragraph-dedup gate: doc-frequency floor
+PD_MIN_LEN = 20    # paragraph-dedup gate: min normalized-key length
+PD_BOILER_A = "Sponsored Content -- visit Example.com (2024)!"
+PD_BOILER_B = "sponsored content visit EXAMPLE.COM 999"
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """CCNet paragraph-level dedup gate (Wenzek et al. 2020): two
+    case/digit/punctuation VARIANTS of one boilerplate paragraph are
+    seeded across the corpus (doc_id % 3 picks the variant) plus a
+    per-doc unique tail whose normalized key is short enough to be
+    exempt — the gate therefore pins the normalization collision, the
+    doc-frequency count, the min-len exemption, and the in-order
+    rebuild, all replayed relationally."""
+    from myaku_spark.operators.dedup import strip_common_paragraphs
+
+    nl2 = "\n\n"
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit(nl2 + PD_BOILER_A)
+            )
+            .when(F.col("doc_id") % 3 == 1, F.lit(nl2 + PD_BOILER_B))
+            .otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(nl2 + "keep "),
+                    F.translate(
+                        F.col("doc_id").cast("string"),
+                        "0123456789",
+                        "abcdefghij",
+                    ),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return strip_common_paragraphs(
+        docs, min_docs=PD_MIN_DOCS, min_len=PD_MIN_LEN
+    )
+
+
 CQ_PROBS = (0.1, 0.5, 0.9, 0.99)  # corpus-quantiles gate probabilities
 
 
@@ -4078,7 +4122,73 @@ FROM q, generate_series(1, {len(CQ_PROBS)}) AS t(i)
 """
 # swap into the round-6 report window in place of the most-covered
 # veteran in the lead list (extraction_parity: 4 prior driver rows)
+
+
+# Paragraph dedup (q_paragraph_dedup): seeded-corpus mirror + full
+# relational replay. Normalization must match normalize_paragraph
+# exactly: lower → strip [0-9] → strip the explicit ASCII-punct class
+# (RE2 has no \p{Punct}) → collapse \s+ → trim. DuckDB regexp_replace
+# needs the 'g' flag (Spark's is global by default).
+ORACLE["paragraph_dedup"] = f"""
+WITH seeded AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 = 0
+            THEN chr(10) || chr(10) || '{PD_BOILER_A.replace("'", "''")}'
+            WHEN doc_id % 3 = 1
+            THEN chr(10) || chr(10) || '{PD_BOILER_B.replace("'", "''")}'
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN chr(10) || chr(10) || 'keep '
+                 || translate(CAST(doc_id AS VARCHAR),
+                              '0123456789', 'abcdefghij')
+            ELSE '' END AS txt
+  FROM documents
+),
+paras AS (
+  SELECT doc_id,
+    unnest(regexp_split_to_array(txt, '\\n\\s*\\n')) AS para,
+    generate_subscripts(
+        regexp_split_to_array(txt, '\\n\\s*\\n'), 1) AS pos
+  FROM seeded
+),
+keyed AS (
+  SELECT doc_id, pos, para,
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(para), '[0-9]', '', 'g'),
+        '[!-/:-@\\[-`{{-~]', '', 'g'),
+      '\\s+', ' ', 'g')) AS key
+  FROM paras
+),
+freq AS (
+  SELECT key, count(DISTINCT doc_id) AS para_df
+  FROM keyed WHERE length(key) >= {PD_MIN_LEN}
+  GROUP BY key
+),
+marked AS (
+  SELECT k.doc_id, k.pos, k.para,
+    (f.para_df IS NOT NULL AND f.para_df >= {PD_MIN_DOCS}
+     AND length(k.key) >= {PD_MIN_LEN}) AS is_common
+  FROM keyed k LEFT JOIN freq f ON f.key = k.key
+)
+SELECT doc_id,
+  coalesce(
+    string_agg(CASE WHEN NOT is_common THEN para END,
+               chr(10) || chr(10) ORDER BY pos),
+    '') AS text,
+  CAST(count(*) AS BIGINT) AS n_paragraphs,
+  CAST(sum(CASE WHEN is_common THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_removed
+FROM marked GROUP BY doc_id
+"""
+QUERIES["paragraph_dedup"] = q_paragraph_dedup
+
+
+# Final report-window assembly (runs LAST so every query defined above
+# is registered before the one rebuild; see _R06_LEAD for the policy).
 _R06_LEAD[_R06_LEAD.index("extraction_parity")] = "corpus_quantiles"
+_R06_LEAD[_R06_LEAD.index("tpch_returned_topk")] = "paragraph_dedup"
 assert set(_R06_LEAD) <= set(QUERIES), sorted(set(_R06_LEAD) - set(QUERIES))
 QUERIES = {k: QUERIES[k] for k in _R06_LEAD} | {
     k: v for k, v in QUERIES.items() if k not in set(_R06_LEAD)

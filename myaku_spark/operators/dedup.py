@@ -518,6 +518,96 @@ def strip_common_lines(
     )
 
 
+# ASCII punctuation as an explicit range class — identical semantics
+# in Java regex (Spark) and RE2 (DuckDB's regexp_replace), where
+# \p{Punct} would not be portable. Covers exactly 0x21-0x2F, 0x3A-0x40,
+# 0x5B-0x60, 0x7B-0x7E.
+PUNCT_CLASS = "[!-/:-@\\[-`{-~]"
+
+
+def normalize_paragraph(col):
+    """CCNet-style paragraph normalization key (Wenzek et al. 2020 —
+    dedup hashes are computed over lowercased, digit-stripped,
+    punctuation-stripped, whitespace-collapsed text so trivial
+    variants of the same boilerplate collide): an EXPRESSION, usable
+    on any string column; the original text is what gets kept or
+    excised, only the key is normalized."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, "[0-9]", "")
+    c = F.regexp_replace(c, PUNCT_CLASS, "")
+    c = F.trim(F.regexp_replace(c, "\\s+", " "))
+    return c
+
+
+def strip_common_paragraphs(
+    docs: DataFrame,
+    min_docs: int = 3,
+    min_len: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Paragraph-level corpus dedup, CCNet's actual granularity
+    (Wenzek et al. 2020 run their SHA-1 dedup over normalized
+    PARAGRAPHS, not raw lines): split on blank lines, key each
+    paragraph by ``normalize_paragraph``, excise every paragraph whose
+    normalized key occurs in >= ``min_docs`` distinct docs. Normalized
+    keys shorter than ``min_len`` are exempt (structure survives).
+    Returns (id, text, n_paragraphs, n_removed) with text rebuilt from
+    the surviving paragraphs in original order, joined by blank lines.
+
+    Same scale shape as strip_common_lines — explode, distinct,
+    groupBy(key) doc-frequency, equi-join flag, per-doc rebuild; the
+    normalization is projection-side so the shuffle key is the
+    normalized paragraph (or swap in xxhash64 of it for very long
+    paragraphs, the substring-dedup trade)."""
+    paras = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.split(F.col(text_col), r"\n\s*\n")
+        ).alias("pos", "para"),
+    ).withColumn("_key", normalize_paragraph(F.col("para")))
+    freq = (
+        paras.filter(F.length("_key") >= min_len)
+        .select("doc_id", "_key")
+        .distinct()
+        .groupBy("_key")
+        .agg(F.count(F.lit(1)).alias("para_df"))
+    )
+    common = freq.filter(F.col("para_df") >= min_docs).select(
+        "_key", F.lit(True).alias("_common")
+    )
+    marked = paras.join(common, "_key", "left")
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_common").isNull(),
+                                F.struct("pos", "para"),
+                            )
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+                "\n\n",
+            ).alias(text_col),
+            F.count(F.lit(1)).cast("long").alias("n_paragraphs"),
+            F.sum(F.col("_common").isNotNull().cast("int"))
+            .cast("long")
+            .alias("n_removed"),
+        )
+        .select(
+            F.col("doc_id").alias(id_col),
+            text_col,
+            "n_paragraphs",
+            "n_removed",
+        )
+    )
+
+
 # Plan-size threshold above which repeated_substring_spans' 'auto'
 # gram_key switches from the raw L-gram to its xxhash64: past this
 # estimated input size, the ~L-fold shuffle-byte saving outweighs raw

@@ -173,12 +173,88 @@ def e2e_smoke(tmp: str, n_pages: int, cpus: int) -> dict:
     }
 
 
+def scan_scaling(tmp: str, base_cpus: int) -> dict:
+    """Archive-scan scaling at N vs 4N cores (the north rule's
+    two-parallelism criterion, on the ingestion surface): the same
+    multi-shard directory parses via read_warc().count() in a fresh
+    JVM per leg (one whole-shard task per file — with >= 4N shards
+    both legs saturate). Sequential, never two JVMs at once."""
+    import subprocess
+
+    # enough shards to keep 4N cores busy for multiple waves, and
+    # enough bytes per shard that parse work dwarfs fixed job overhead
+    n_shards = base_cpus * 8
+    d = os.path.join(tmp, "scale_shards")
+    if not os.path.isdir(d) or len(os.listdir(d)) < n_shards:
+        os.makedirs(d, exist_ok=True)
+        from myaku_spark.sources.pages import synth_page
+        from myaku_spark.sources.warc import warc_record_bytes
+
+        per = 4000
+        for s in range(n_shards):
+            with open(
+                os.path.join(d, f"sc-{s:05d}.warc.gz"), "wb"
+            ) as f:
+                for i in range(s * per, (s + 1) * per):
+                    p = synth_page(i)
+                    f.write(
+                        gzip.compress(
+                            warc_record_bytes(
+                                p["url"],
+                                "2026-01-01T00:00:00Z",
+                                _html_bytes(p["html"]),
+                            )
+                        )
+                    )
+
+    def leg(cpus: int) -> dict:
+        code = (
+            "import json, sys, time\n"
+            "sys.path.insert(0, %r)\n"
+            "from myaku_spark.session import get_spark\n"
+            "from myaku_spark.sources.warc import read_warc\n"
+            "spark = get_spark('warc_scan', parallelism=%d)\n"
+            "read_warc(spark, %r).count()  # warm (JVM/codegen)\n"
+            "t0 = time.time()\n"
+            "n = read_warc(spark, %r).count()\n"
+            "print(json.dumps({'rows': n, 'wall': time.time() - t0}))\n"
+            "spark.stop()\n"
+        ) % (
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            cpus, d, d,
+        )
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, check=True, timeout=1800,
+        ).stdout.strip().splitlines()[-1]
+        return json.loads(out)
+
+    lo = leg(base_cpus)
+    hi = leg(base_cpus * 4)
+    eff = (lo["wall"] / hi["wall"]) / 4.0
+    return {
+        "shards": len(os.listdir(d)),
+        "records": lo["rows"],
+        "n_cores": base_cpus,
+        "four_n_cores": base_cpus * 4,
+        "wall_n_sec": round(lo["wall"], 2),
+        "wall_4n_sec": round(hi["wall"], 2),
+        "scaling_efficiency": round(eff, 3),
+        "meets_0_8": eff >= 0.8,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--shard-mb", type=int, default=200)
     ap.add_argument("--e2e-pages", type=int, default=2000)
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--tmp", default="/tmp/bench_warc")
+    ap.add_argument(
+        "--scan-scaling-base", type=int, default=0,
+        help="also run the archive-scan N-vs-4N scaling legs with this "
+             "base core count (0 = skip)",
+    )
     args = ap.parse_args()
     os.makedirs(args.tmp, exist_ok=True)
     shard = os.path.join(args.tmp, "big-00000.warc.gz")
@@ -194,6 +270,11 @@ def main() -> None:
         meta = synth_shard(shard, args.shard_mb)
     gen_sec = round(time.time() - t0, 1)
     prof = profile_parse(shard)
+    scaling = (
+        scan_scaling(args.tmp, args.scan_scaling_base)
+        if args.scan_scaling_base
+        else None
+    )
     e2e = e2e_smoke(args.tmp, args.e2e_pages, args.cpus)
     print(
         json.dumps(
@@ -201,6 +282,7 @@ def main() -> None:
                 "metric": "warc_shard_bench",
                 "shard": {**meta, "gen_sec": gen_sec},
                 "parse": prof,
+                "scan_scaling": scaling,
                 "e2e": e2e,
             }
         )

@@ -31,6 +31,15 @@ def main() -> None:
     ap.add_argument(
         "--warc", help="WARC shard dir/file (Common Crawl landing) instead"
     )
+    ap.add_argument(
+        "--stream-warc",
+        action="store_true",
+        help="with --warc DIR: run the continuous-ingestion path "
+             "instead of one batch build — drain the dir through the "
+             "binaryFile stream (bootstrap build on the first batch, "
+             "incremental_update after; checkpointed in <out>/_stream_ckpt "
+             "so re-runs only index newly landed shards)",
+    )
     ap.add_argument("--synth", type=int, help="synthesize N pages instead")
     ap.add_argument("--out", help="index output dir (temp when omitted)")
     ap.add_argument("--n-groups", type=int, default=2)
@@ -53,6 +62,33 @@ def main() -> None:
     spark = get_spark("myaku_spark_build", parallelism=args.cpus)
     cpus = spark.sparkContext.defaultParallelism
     out = args.out or tempfile.mkdtemp(prefix="myaku_idx_")
+
+    if args.stream_warc:
+        if not args.warc:
+            ap.error("--stream-warc requires --warc DIR")
+        from myaku_spark.streaming.warc_stream import stream_warc_to_index
+
+        t0 = time.time()
+        q = stream_warc_to_index(
+            spark, args.warc, out, os.path.join(out, "_stream_ckpt"),
+            now=args.now, bootstrap_n_groups=args.n_groups,
+        )
+        q.awaitTermination()
+        wall = time.time() - t0
+        n_docs = spark.read.parquet(f"{out}/docs").count()
+        print(
+            json.dumps(
+                {
+                    "mode": "stream_warc",
+                    "docs_in_index": n_docs,
+                    "wall_sec": round(wall, 3),
+                    "out": out,
+                    "cpus": cpus,
+                }
+            )
+        )
+        spark.stop()
+        return
 
     if args.synth:
         lo, hi = (int(x) for x in args.paras.split(","))

@@ -1145,3 +1145,56 @@ def test_gopher_quality_projection_only_plan(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     plan = gopher_quality(df)._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" not in plan and "Aggregate" not in plan
+
+
+def test_strip_common_paragraphs_python_twin(spark):
+    # CCNet paragraph dedup: normalized keys collide case/digit/punct
+    # variants of the same boilerplate; originals are what get excised;
+    # short normalized keys are exempt; rebuild preserves order.
+    import re
+
+    from myaku_spark.operators.dedup import strip_common_paragraphs
+
+    boiler_a = "Sponsored Content -- visit Example.com (2024)!"
+    boiler_b = "sponsored content visit EXAMPLE.COM 999"
+    texts = {
+        1: "first body paragraph one\n\n" + boiler_a + "\n\nunique tail x",
+        2: "second body paragraph two\n\n" + boiler_b,
+        3: boiler_a + "\n\nthird body, genuinely different",
+        4: "no boilerplate here at all\n\nshort\n\nshort",
+        5: "fifth body text\n\n" + boiler_b + "\n\nshort",
+    }
+    got = {
+        r.doc_id: (r.text, r.n_paragraphs, r.n_removed)
+        for r in strip_common_paragraphs(
+            spark.createDataFrame(
+                list(texts.items()), "doc_id long, text string"
+            ),
+            min_docs=3,
+            min_len=20,
+        ).collect()
+    }
+
+    def norm(p):
+        c = p.lower()
+        c = re.sub("[0-9]", "", c)
+        c = re.sub("[!-/:-@\\[-`{-~]", "", c)
+        return re.sub(r"\s+", " ", c).strip()
+
+    from collections import Counter
+
+    paras = {d: re.split(r"\n\s*\n", t) for d, t in texts.items()}
+    df = Counter()
+    for d, ps in paras.items():
+        for k in {norm(p) for p in ps if len(norm(p)) >= 20}:
+            df[k] += 1
+    common = {k for k, n in df.items() if n >= 3}
+    for d, ps in paras.items():
+        kept = [p for p in ps if norm(p) not in common
+                or len(norm(p)) < 20]
+        removed = len(ps) - len(kept)
+        assert got[d] == ("\n\n".join(kept), len(ps), removed), d
+    # the variants really did collide (both excised, df == 4 >= 3)
+    assert norm(boiler_a) == norm(boiler_b)
+    assert got[1][2] == 1 and got[2][2] == 1 and got[3][2] == 1
+    assert got[4][2] == 0  # short paragraphs exempt, nothing removed
