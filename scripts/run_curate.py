@@ -44,6 +44,13 @@ def main() -> None:
              "before any quality stage runs; 0 (default) = off",
     )
     ap.add_argument(
+        "--strip-common-paragraphs", type=int, default=0,
+        metavar="MIN_DOCS",
+        help="pre-funnel paragraph-level dedup (CCNet granularity, "
+             "normalized keys): excise paragraphs whose normalized "
+             "form appears in >= MIN_DOCS distinct docs; 0 = off",
+    )
+    ap.add_argument(
         "--out-format", default="parquet",
         choices=["parquet", "jsonl", "wet"],
         help="jsonl = one JSON doc per line (the standard training-data "
@@ -64,6 +71,31 @@ def main() -> None:
     t0 = time.time()
     docs = spark.read.parquet(args.docs)
     lines_removed = None
+    paragraphs_removed = None
+
+    def _ride_back(cleaned):
+        # cleaned text rides back onto the full row (other columns —
+        # source etc. — feed later funnel stages). LEFT join: docs with
+        # NULL text have no cleaned row (nothing to posexplode) and
+        # must still flow through the quality funnel — which drops
+        # them visibly at its own stage — not vanish here.
+        return (
+            docs.withColumnRenamed("text", "_orig_text")
+            .join(cleaned.select("doc_id", "text"), "doc_id", "left")
+            .withColumn("text", F.coalesce("text", "_orig_text"))
+            .drop("_orig_text")
+        )
+
+    if args.strip_common_paragraphs > 0:
+        from myaku_spark.operators.dedup import strip_common_paragraphs
+
+        pcleaned = strip_common_paragraphs(
+            docs, min_docs=args.strip_common_paragraphs
+        ).persist()
+        paragraphs_removed = pcleaned.agg(
+            F.sum("n_removed").cast("long").alias("n")
+        ).collect()[0].n
+        docs = _ride_back(pcleaned)
     if args.strip_common_lines > 0:
         from myaku_spark.operators.dedup import strip_common_lines
 
@@ -73,17 +105,7 @@ def main() -> None:
         lines_removed = cleaned.agg(
             F.sum("n_removed").cast("long").alias("n")
         ).collect()[0].n
-        # cleaned text rides back onto the full row (other columns —
-        # source etc. — feed later funnel stages). LEFT join: docs with
-        # NULL text have no strip_common_lines row (nothing to
-        # posexplode) and must still flow through the quality funnel —
-        # which drops them visibly at its own stage — not vanish here.
-        docs = (
-            docs.withColumnRenamed("text", "_orig_text")
-            .join(cleaned.select("doc_id", "text"), "doc_id", "left")
-            .withColumn("text", F.coalesce("text", "_orig_text"))
-            .drop("_orig_text")
-        )
+        docs = _ride_back(cleaned)
     lm = train_bigram_lm(docs)
     flags = curate_flags(
         docs,
@@ -113,6 +135,8 @@ def main() -> None:
     flags.unpersist()
     if args.strip_common_lines > 0:
         cleaned.unpersist()
+    if args.strip_common_paragraphs > 0:
+        pcleaned.unpersist()
     lm.release()
     spark.createDataFrame(
         funnel, "stage_idx int, stage string, n_docs long"
@@ -122,6 +146,7 @@ def main() -> None:
             {
                 "stages": {r.stage: r.n_docs for r in funnel},
                 "lines_removed": lines_removed,
+                "paragraphs_removed": paragraphs_removed,
                 "wet_shards": (
                     len(wet_shards) if wet_shards is not None else None
                 ),
