@@ -2440,6 +2440,24 @@ def q_pagerank_topk(spark, sf_dir):
     )
 
 
+CH_MAX_TOKENS = 24  # doc-chunking gate: tokens per window
+CH_OVERLAP = 6      # doc-chunking gate: window overlap
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Fixed-token-window chunking with overlap (the pre-tokenization
+    step that sizes documents for training/embedding): every window's
+    token count and exact character-span text are replayed relationally
+    from the shared token-offset CTE."""
+    from myaku_spark.operators.packing import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir),
+        max_tokens=CH_MAX_TOKENS,
+        overlap=CH_OVERLAP,
+    )
+
+
 PD_MIN_DOCS = 3    # paragraph-dedup gate: doc-frequency floor
 PD_MIN_LEN = 20    # paragraph-dedup gate: min normalized-key length
 PD_BOILER_A = "Sponsored Content -- visit Example.com (2024)!"
@@ -4185,10 +4203,53 @@ FROM marked GROUP BY doc_id
 QUERIES["paragraph_dedup"] = q_paragraph_dedup
 
 
+# Document chunking (q_doc_chunks): per-doc ordered token offsets
+# (the shared toks CTE), window count = 1 for short docs else
+# ceil((n - overlap)/step), chunk text = the original char span from
+# first token start to last token end (1-based list indexing; DuckDB
+# range(a, b) is a scalar list here, unnested per doc).
+ORACLE["doc_chunks"] = f"""
+WITH {_SQL_TOKS},
+tl AS (
+  SELECT doc_id,
+         list(struct_pack(s := start, e := start + len)
+              ORDER BY start) AS ts
+  FROM toks GROUP BY doc_id
+),
+docs2 AS (
+  SELECT t.doc_id, d.text, t.ts, len(t.ts) AS n
+  FROM tl t JOIN documents d USING (doc_id)
+),
+chunks AS (
+  SELECT doc_id, text, ts, n,
+         unnest(range(0,
+           CASE WHEN n <= {CH_MAX_TOKENS} THEN 1
+                ELSE CAST(ceil((n - {CH_OVERLAP})
+                          / {CH_MAX_TOKENS - CH_OVERLAP}.0) AS BIGINT)
+           END)) AS chunk_id
+  FROM docs2
+)
+SELECT doc_id,
+  CAST(chunk_id AS INT) AS chunk_id,
+  CAST(least(chunk_id * {CH_MAX_TOKENS - CH_OVERLAP} + {CH_MAX_TOKENS},
+             n)
+       - chunk_id * {CH_MAX_TOKENS - CH_OVERLAP} AS INT) AS n_tokens,
+  substring(text,
+    ts[CAST(chunk_id * {CH_MAX_TOKENS - CH_OVERLAP} AS INT) + 1].s + 1,
+    ts[CAST(least(chunk_id * {CH_MAX_TOKENS - CH_OVERLAP}
+                  + {CH_MAX_TOKENS}, n) AS INT)].e
+      - ts[CAST(chunk_id * {CH_MAX_TOKENS - CH_OVERLAP} AS INT) + 1].s
+  ) AS chunk_text
+FROM chunks
+"""
+QUERIES["doc_chunks"] = q_doc_chunks
+
+
 # Final report-window assembly (runs LAST so every query defined above
 # is registered before the one rebuild; see _R06_LEAD for the policy).
 _R06_LEAD[_R06_LEAD.index("extraction_parity")] = "corpus_quantiles"
 _R06_LEAD[_R06_LEAD.index("tpch_returned_topk")] = "paragraph_dedup"
+_R06_LEAD[_R06_LEAD.index("tpch_order_priority")] = "doc_chunks"
 assert set(_R06_LEAD) <= set(QUERIES), sorted(set(_R06_LEAD) - set(QUERIES))
 QUERIES = {k: QUERIES[k] for k in _R06_LEAD} | {
     k: v for k, v in QUERIES.items() if k not in set(_R06_LEAD)

@@ -63,3 +63,86 @@ def pack_sequences(
         return out
 
     return df.groupBy(shard_col).applyInPandas(pack, schema)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-token-window chunking with overlap — the standard
+    pre-tokenization step that turns long documents into
+    training/embedding-sized pieces while the ``overlap`` preserves
+    context across cut points. Chunk k covers token indices
+    [k·step, k·step + max_tokens) with step = max_tokens − overlap;
+    the chunk TEXT is the original character span from the first
+    token's start to the last token's end (original spacing survives —
+    chunks re-tokenize to exactly their token slice). Emits
+    (id, chunk_id, n_tokens, chunk_text); a doc at or under the budget
+    is one chunk; empty/NULL text emits nothing.
+
+    Entirely Catalyst (split + aggregate HOF for offsets, sequence +
+    transform for windows — no UDF, no shuffle beyond the source scan):
+    per-doc work is linear in tokens, chunk fan-out is rows-only
+    projection, so the plan is scan-bound at any corpus size."""
+    from pyspark.sql import functions as F
+
+    if overlap >= max_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be < max_tokens ({max_tokens})"
+        )
+    step = max_tokens - overlap
+    text = F.col(text_col)
+    # (start, end) per token, in order, built by one aggregate fold
+    # (same recipe as tokenize_whitespace_col: offsets count empty
+    # tokens' separators, empties dropped from the output)
+    toks = F.aggregate(
+        F.split(text, " "),
+        F.struct(
+            F.lit(0).alias("off"),
+            F.array().cast(
+                "array<struct<s:int,e:int>>"
+            ).alias("ts"),
+        ),
+        lambda acc, w: F.struct(
+            (acc["off"] + F.length(w) + 1).alias("off"),
+            F.when(
+                F.length(w) > 0,
+                F.array_append(
+                    acc["ts"],
+                    F.struct(
+                        acc["off"].cast("int").alias("s"),
+                        (acc["off"] + F.length(w)).cast("int").alias("e"),
+                    ),
+                ),
+            )
+            .otherwise(acc["ts"])
+            .alias("ts"),
+        ),
+        lambda acc: acc["ts"],
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), text.alias("__t"), toks.alias("ts")
+    ).filter(F.size("ts") > 0)
+    n = F.size("ts")
+    n_chunks = F.when(n <= max_tokens, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(overlap)) / F.lit(step)).cast("int")
+    )
+    out = base.select(
+        "doc_id", "__t", "ts",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    lo = F.col("chunk_id") * step  # 0-based first token index
+    hi = F.least(lo + max_tokens, F.size("ts"))  # exclusive end
+    first = F.element_at("ts", lo.cast("int") + 1)
+    last = F.element_at("ts", hi.cast("int"))
+    return out.select(
+        F.col("doc_id").alias(id_col),
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        (hi - lo).cast("int").alias("n_tokens"),
+        F.substring(
+            F.col("__t"), first["s"] + 1, last["e"] - first["s"]
+        ).alias("chunk_text"),
+    )

@@ -1198,3 +1198,64 @@ def test_strip_common_paragraphs_python_twin(spark):
     assert norm(boiler_a) == norm(boiler_b)
     assert got[1][2] == 1 and got[2][2] == 1 and got[3][2] == 1
     assert got[4][2] == 0  # short paragraphs exempt, nothing removed
+
+
+def test_chunk_documents_python_twin(spark):
+    # fixed-token windows with overlap: spans cover the doc, chunk text
+    # is the original char span (re-tokenizes to exactly its slice),
+    # short docs = one chunk, empty/NULL emit nothing.
+    import pytest as _pytest
+
+    from myaku_spark.operators.packing import chunk_documents
+
+    texts = {
+        1: " ".join(f"w{i}" for i in range(25)),   # 25 toks
+        2: " ".join(f"x{i}" for i in range(10)),   # exactly max
+        3: "one two",                              # tiny
+        4: "",                                     # empty → nothing
+        5: None,                                   # NULL → nothing
+        6: "a  b   c " + " ".join("tok%d" % i for i in range(17)),
+    }
+    max_tokens, overlap = 10, 3
+    step = max_tokens - overlap
+    got = {}
+    rows = chunk_documents(
+        spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        ),
+        max_tokens=max_tokens,
+        overlap=overlap,
+    ).collect()
+    for r in rows:
+        got.setdefault(r.doc_id, {})[r.chunk_id] = (
+            r.n_tokens, r.chunk_text
+        )
+
+    for d, t in texts.items():
+        if not t:
+            assert d not in got, d
+            continue
+        # twin: token (start, end) offsets, split on single space
+        toks, off = [], 0
+        for w in t.split(" "):
+            if w:
+                toks.append((off, off + len(w)))
+            off += len(w) + 1
+        n = len(toks)
+        n_chunks = 1 if n <= max_tokens else -(-(n - overlap) // step)
+        want = {}
+        for k in range(n_chunks):
+            lo, hi = k * step, min(k * step + max_tokens, n)
+            want[k] = (hi - lo, t[toks[lo][0] : toks[hi - 1][1]])
+        assert got[d] == want, d
+        # every chunk re-tokenizes to exactly its token slice
+        for k, (nt, ct) in want.items():
+            assert len([w for w in ct.split(" ") if w]) == nt, (d, k)
+    # consecutive chunks overlap by exactly `overlap` tokens
+    assert got[1][0][1].split(" ")[step:] == got[1][1][1].split(" ")[:overlap]
+
+    with _pytest.raises(ValueError):
+        chunk_documents(
+            spark.createDataFrame([(1, "a")], "doc_id long, text string"),
+            max_tokens=5, overlap=5,
+        )

@@ -315,3 +315,44 @@ def test_gz_chunks_bounded_input_slices():
     # truncated mid-member still terminates cleanly
     got = b"".join(_gz_chunks(payload[:-30], in_chunk=11))
     assert want.startswith(got)
+
+
+def test_warc_body_containing_fake_headers_never_misframes():
+    # Content-Length framing must never split on payload bytes: bodies
+    # here embed complete-looking WARC headers, inter-record CRLF runs,
+    # and partial header prefixes — byte-exact roundtrip required,
+    # plain and gzipped, at adversarial chunk sizes.
+    import gzip as gz
+
+    from myaku_spark.sources.warc import _gz_chunks, _parse_stream
+
+    evil_bodies = [
+        b"\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n"
+        b"Content-Length: 3\r\n\r\nxyz\r\n\r\n",
+        b"WARC/1.0" * 10,
+        b"\r\n" * 50,
+        b"Content-Length: 999999\r\n\r\n" + b"A" * 100,
+        b"",  # zero-length block
+        bytes(range(256)) * 3,  # all byte values incl. NUL
+    ]
+    recs = [
+        warc_record_bytes(
+            f"http://evil.example/{i}", "2026-01-01T00:00:00Z", b
+        )
+        for i, b in enumerate(evil_bodies)
+    ]
+    plain = b"".join(recs)
+    rows = list(_parse_stream("e.warc", iter((plain,))))
+    assert len(rows) == len(evil_bodies)
+    for i, r in enumerate(rows):
+        assert r[1] == f"http://evil.example/{i}"
+        assert r[6] == evil_bodies[i], i
+
+    payload = b"".join(gz.compress(r) for r in recs)
+    for chunk in (5, 1 << 20):
+        rows = list(
+            _parse_stream(
+                "e.warc.gz", _gz_chunks(payload, max_chunk=chunk)
+            )
+        )
+        assert [r[6] for r in rows] == evil_bodies, chunk
