@@ -474,22 +474,54 @@ def strip_common_lines(
     Super-common lines are the hot join keys, but they fan out only to
     the docs that contain them (the same rows the scan already holds),
     and AQE splits the genuinely hot ones."""
-    lines = docs.select(
+    return _strip_common_units(
+        docs,
+        split_pattern="\n",
+        key_fn=lambda c: c,  # exact line match — no normalization
+        joiner="\n",
+        count_alias="n_lines",
+        min_docs=min_docs,
+        min_len=min_len,
+        text_col=text_col,
+        id_col=id_col,
+    )
+
+
+def _strip_common_units(
+    docs: DataFrame,
+    split_pattern: str,
+    key_fn,
+    joiner: str,
+    count_alias: str,
+    min_docs: int,
+    min_len: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shared engine of the line- and paragraph-level corpus filters:
+    explode units, key them (identity or normalization), count
+    doc-frequency over distinct (doc, key), flag keys at or above
+    ``min_docs``, rebuild each doc from its surviving units in
+    original order. ``min_len`` applies to the KEY (so normalization
+    shortening counts); short keys never enter freq, hence never join
+    as common."""
+    units = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
-    )
+        F.posexplode(
+            F.split(F.col(text_col), split_pattern)
+        ).alias("pos", "unit"),
+    ).withColumn("_key", key_fn(F.col("unit")))
     freq = (
-        lines.filter(F.length("line") >= min_len)
-        .select("doc_id", "line")
+        units.filter(F.length("_key") >= min_len)
+        .select("doc_id", "_key")
         .distinct()
-        .groupBy("line")
-        .agg(F.count(F.lit(1)).alias("line_df"))
+        .groupBy("_key")
+        .agg(F.count(F.lit(1)).alias("unit_df"))
     )
-    common = freq.filter(F.col("line_df") >= min_docs).select(
-        "line", F.lit(True).alias("_common")
+    common = freq.filter(F.col("unit_df") >= min_docs).select(
+        "_key", F.lit(True).alias("_common")
     )
-    # short lines never join (every common line is >= min_len chars)
-    marked = lines.join(common, "line", "left")
+    marked = units.join(common, "_key", "left")
     return (
         marked.groupBy("doc_id")
         .agg(
@@ -499,21 +531,24 @@ def strip_common_lines(
                         F.collect_list(
                             F.when(
                                 F.col("_common").isNull(),
-                                F.struct("pos", "line"),
+                                F.struct("pos", "unit"),
                             )
                         )
                     ),
-                    lambda s: s["line"],
+                    lambda s: s["unit"],
                 ),
-                "\n",
+                joiner,
             ).alias(text_col),
-            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.count(F.lit(1)).cast("long").alias(count_alias),
             F.sum(F.col("_common").isNotNull().cast("int"))
             .cast("long")
             .alias("n_removed"),
         )
         .select(
-            F.col("doc_id").alias(id_col), text_col, "n_lines", "n_removed"
+            F.col("doc_id").alias(id_col),
+            text_col,
+            count_alias,
+            "n_removed",
         )
     )
 
@@ -555,56 +590,22 @@ def strip_common_paragraphs(
     Returns (id, text, n_paragraphs, n_removed) with text rebuilt from
     the surviving paragraphs in original order, joined by blank lines.
 
-    Same scale shape as strip_common_lines — explode, distinct,
-    groupBy(key) doc-frequency, equi-join flag, per-doc rebuild; the
-    normalization is projection-side so the shuffle key is the
-    normalized paragraph (or swap in xxhash64 of it for very long
-    paragraphs, the substring-dedup trade)."""
-    paras = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(
-            F.split(F.col(text_col), r"\n\s*\n")
-        ).alias("pos", "para"),
-    ).withColumn("_key", normalize_paragraph(F.col("para")))
-    freq = (
-        paras.filter(F.length("_key") >= min_len)
-        .select("doc_id", "_key")
-        .distinct()
-        .groupBy("_key")
-        .agg(F.count(F.lit(1)).alias("para_df"))
-    )
-    common = freq.filter(F.col("para_df") >= min_docs).select(
-        "_key", F.lit(True).alias("_common")
-    )
-    marked = paras.join(common, "_key", "left")
-    return (
-        marked.groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("_common").isNull(),
-                                F.struct("pos", "para"),
-                            )
-                        )
-                    ),
-                    lambda s: s["para"],
-                ),
-                "\n\n",
-            ).alias(text_col),
-            F.count(F.lit(1)).cast("long").alias("n_paragraphs"),
-            F.sum(F.col("_common").isNotNull().cast("int"))
-            .cast("long")
-            .alias("n_removed"),
-        )
-        .select(
-            F.col("doc_id").alias(id_col),
-            text_col,
-            "n_paragraphs",
-            "n_removed",
-        )
+    Same scale shape as strip_common_lines (the shared
+    ``_strip_common_units`` engine) — explode, distinct, groupBy(key)
+    doc-frequency, equi-join flag, per-doc rebuild; the normalization
+    is projection-side so the shuffle key is the normalized paragraph
+    (or swap in xxhash64 of it for very long paragraphs, the
+    substring-dedup trade)."""
+    return _strip_common_units(
+        docs,
+        split_pattern=r"\n\s*\n",
+        key_fn=normalize_paragraph,
+        joiner="\n\n",
+        count_alias="n_paragraphs",
+        min_docs=min_docs,
+        min_len=min_len,
+        text_col=text_col,
+        id_col=id_col,
     )
 
 

@@ -83,10 +83,14 @@ def chunk_documents(
     (id, chunk_id, n_tokens, chunk_text); a doc at or under the budget
     is one chunk; empty/NULL text emits nothing.
 
-    Entirely Catalyst (split + aggregate HOF for offsets, sequence +
-    transform for windows — no UDF, no shuffle beyond the source scan):
-    per-doc work is linear in tokens, chunk fan-out is rows-only
-    projection, so the plan is scan-bound at any corpus size."""
+    Token offsets come from a posexplode + doc-keyed cumulative-length
+    window — the SAME relational recipe as the oracle's toks CTE, and
+    LINEAR per document (an aggregate()/array_append fold would copy
+    the accumulator per token: O(tokens²) per doc, fatal for exactly
+    the long documents chunking exists for). One shuffle keyed by
+    doc_id (window + the offsets groupBy share the partitioning); the
+    window hot key is one document's tokens, never corpus-wide."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     if overlap >= max_tokens:
@@ -94,38 +98,42 @@ def chunk_documents(
             f"overlap ({overlap}) must be < max_tokens ({max_tokens})"
         )
     step = max_tokens - overlap
-    text = F.col(text_col)
-    # (start, end) per token, in order, built by one aggregate fold
-    # (same recipe as tokenize_whitespace_col: offsets count empty
-    # tokens' separators, empties dropped from the output)
-    toks = F.aggregate(
-        F.split(text, " "),
-        F.struct(
-            F.lit(0).alias("off"),
-            F.array().cast(
-                "array<struct<s:int,e:int>>"
-            ).alias("ts"),
-        ),
-        lambda acc, w: F.struct(
-            (acc["off"] + F.length(w) + 1).alias("off"),
-            F.when(
-                F.length(w) > 0,
-                F.array_append(
-                    acc["ts"],
-                    F.struct(
-                        acc["off"].cast("int").alias("s"),
-                        (acc["off"] + F.length(w)).cast("int").alias("e"),
-                    ),
-                ),
-            )
-            .otherwise(acc["ts"])
-            .alias("ts"),
-        ),
-        lambda acc: acc["ts"],
+    raw = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("__t"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("ord", "w"),
     )
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), text.alias("__t"), toks.alias("ts")
-    ).filter(F.size("ts") > 0)
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("ord")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # offsets count empty tokens' separators (the shared invariant with
+    # tokenize_whitespace_col and the oracle's toks CTE); empties are
+    # dropped AFTER the offset accounting
+    offs = raw.withColumn(
+        "s",
+        F.coalesce(
+            F.sum(F.length("w") + 1).over(win), F.lit(0)
+        ).cast("int"),
+    ).filter(F.length("w") > 0)
+    base = (
+        offs.groupBy("doc_id")
+        .agg(
+            F.max("__t").alias("__t"),  # constant per doc
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("s"),
+                        (F.col("s") + F.length("w"))
+                        .cast("int")
+                        .alias("e"),
+                    )
+                )
+            ).alias("ts"),
+        )
+        .filter(F.size("ts") > 0)
+    )
     n = F.size("ts")
     n_chunks = F.when(n <= max_tokens, F.lit(1)).otherwise(
         F.ceil((n - F.lit(overlap)) / F.lit(step)).cast("int")

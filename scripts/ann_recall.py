@@ -46,6 +46,7 @@ def main() -> None:
         "vec_id", "embedding"
     )
     n_vecs = emb.count()
+    dim = len(emb.select("embedding").first().embedding)
     queries = (
         emb.filter(F.col("vec_id") < args.n_queries)
         .select(
@@ -85,7 +86,7 @@ def main() -> None:
         )
     for m in (4, 8):
         results[f"pq_m{m}_k8_adc"] = recall(
-            pq_adc_topk(emb, queries, k=args.k, m=m, k_cb=8, dim=64)
+            pq_adc_topk(emb, queries, k=args.k, m=m, k_cb=8, dim=dim)
         )
 
     print(
@@ -95,7 +96,7 @@ def main() -> None:
                 "k": args.k,
                 "n_queries": len(exact),
                 "n_vectors": n_vecs,
-                "dim": 64,
+                "dim": dim,
                 "recall": results,
                 "sf_dir": args.sf_dir,
             }

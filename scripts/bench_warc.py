@@ -5,16 +5,20 @@ Common-Crawl-sized deployment cares about, in two parts:
 
 1. **Per-task parse profile** — synthesize ONE .warc.gz shard of a few
    hundred MB (member-per-record gzip, synthetic HTML pages), then run
-   ``parse_warc_records`` on it in-process exactly as one Spark task
-   would (the binaryFile source hands a task the compressed bytes; the
-   task streams the decompression). tracemalloc isolates the parse's
-   INCREMENTAL peak over the held compressed blob, which must stay a
-   small fraction of the inflated size (the sources/warc.py:19-24
-   claim: the inflated shard never materializes).
+   the streaming parser on it in a fresh subprocess exactly as one
+   Spark task would (the binaryFile source hands a task the compressed
+   bytes; the task streams the decompression), reporting throughput
+   and the subprocess RSS high-water mark — which must stay near the
+   compressed size, far below compressed + inflated (the
+   sources/warc.py claim: the inflated shard never materializes).
 
 2. **Multi-shard e2e smoke** — read_warc → warc_to_pages →
    build_index over a directory of shards on local[N], reporting
    docs/s so archive-path ingestion has a measured throughput row.
+
+3. **Archive-scan scaling** (``--scan-scaling-base N``) — the same
+   shard directory parsed end-to-end at local[N] vs local[4N], fresh
+   sequential JVMs, reporting the two-parallelism efficiency.
 
 Usage:
     python scripts/bench_warc.py [--shard-mb 200] [--e2e-pages 2000]
@@ -184,8 +188,11 @@ def scan_scaling(tmp: str, base_cpus: int) -> dict:
     # enough shards to keep 4N cores busy for multiple waves, and
     # enough bytes per shard that parse work dwarfs fixed job overhead
     n_shards = base_cpus * 8
-    d = os.path.join(tmp, "scale_shards")
-    if not os.path.isdir(d) or len(os.listdir(d)) < n_shards:
+    # dir keyed by shard count: a stale dir from a different base would
+    # otherwise silently change the measured workload (and regenerating
+    # from scratch wastes the overlap)
+    d = os.path.join(tmp, f"scale_shards_{n_shards}")
+    if not os.path.isdir(d) or len(os.listdir(d)) != n_shards:
         os.makedirs(d, exist_ok=True)
         from myaku_spark.sources.pages import synth_page
         from myaku_spark.sources.warc import warc_record_bytes

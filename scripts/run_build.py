@@ -75,7 +75,15 @@ def main() -> None:
         )
         q.awaitTermination()
         wall = time.time() - t0
-        n_docs = spark.read.parquet(f"{out}/docs").count()
+        # zero-new-shards drains are routine for a re-runnable stream:
+        # the index may not exist yet (nothing ever landed) — report 0
+        from myaku_spark.plans import catalog
+
+        n_docs = (
+            spark.read.parquet(f"{out}/docs").count()
+            if catalog.parquet_exists(f"{out}/docs")
+            else 0
+        )
         print(
             json.dumps(
                 {
