@@ -529,19 +529,26 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     (dedup.lsh_candidate_pairs) applies, which is what keeps the
     band-join sub-quadratic at 100 TB. The oracle replays the cap."""
     sig = q_minhash_signature(spark, sf_dir)
-    bands = []
+    # Single-scan band fan-out (r7, the production lsh_candidate_pairs
+    # shape): an MH_BANDS-way union of per-band selects replicated the
+    # whole signature subplan (tokenize → distinct → 8-hash agg) per
+    # band AND per self-join side — 32 copies of the scan pipeline in
+    # the optimized plan. The explode computes signatures once and fans
+    # the band rows out in-projection; rows are identical.
     per_band = len(MH_HASHES) // MH_BANDS
+    band_structs = []
     for bnd in range(MH_BANDS):
         cols = [f"mh{bnd * per_band + j}" for j in range(per_band)]
         bucket = F.lit(0).cast("long")
         for c in cols:
             bucket = (bucket * 1_000_003 + F.col(c)) % MH_P
-        bands.append(
-            sig.select("doc_id", F.lit(bnd).alias("band"), bucket.alias("bucket"))
+        band_structs.append(
+            F.struct(F.lit(bnd).alias("band"), bucket.alias("bucket"))
         )
-    allb = bands[0]
-    for bdf in bands[1:]:
-        allb = allb.unionByName(bdf)
+    allb = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
     sizes = allb.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
     allb = allb.join(
         sizes.filter(F.col("n") <= MH_MAX_BUCKET).select("band", "bucket"),
@@ -779,19 +786,20 @@ def q_simhash_pairs(spark, sf_dir):
     for j in range(SH_BITS):
         sh = sh + F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(0)
     sig = v.select("doc_id", sh.alias("simhash"))
-    bands = []
-    for bnd in range(4):
-        bands.append(
-            sig.select(
-                "doc_id",
-                "simhash",
-                F.lit(bnd).alias("band"),
-                (F.shiftright(F.col("simhash"), bnd * 4) % 16).alias("bval"),
-            )
+    # Single-scan band fan-out (r7, see q_minhash_lsh_pairs): explode
+    # replaces the 4-way union that replicated the SimHash aggregation
+    # subplan per band and per self-join side; rows are identical.
+    band_structs = [
+        F.struct(
+            F.lit(bnd).alias("band"),
+            (F.shiftright(F.col("simhash"), bnd * 4) % 16).alias("bval"),
         )
-    allb = bands[0]
-    for bdf in bands[1:]:
-        allb = allb.unionByName(bdf)
+        for bnd in range(4)
+    ]
+    allb = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"),
+             F.col("bb.bval").alias("bval"))
     pairs = (
         allb.alias("l")
         .join(

@@ -43,7 +43,7 @@ from __future__ import annotations
 import csv
 import io
 import os
-from dataclasses import dataclass
+from typing import NamedTuple
 
 DEFAULT_FRAGMENT = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "ipadic_fragment.csv"
@@ -65,10 +65,13 @@ _SUFFIX_POS_PREFIX = ("名詞", "接尾", "特殊")
 _MAX_COMPOSITES = 2_000_000
 
 
-@dataclass(frozen=True)
-class IpadicRow:
+class IpadicRow(NamedTuple):
     """One dictionary CSV row (the fields MecabTagger.parse consumes,
-    japanese_analysis.py:1060-1090, plus the lattice costs)."""
+    japanese_analysis.py:1060-1090, plus the lattice costs).
+
+    NamedTuple rather than a frozen dataclass: a real NEologd drop-in
+    parses millions of rows and frozen-dataclass construction
+    (object.__setattr__ per field) measurably dominated the parse."""
 
     surface: str
     left_id: int
@@ -152,7 +155,9 @@ def parse_ipadic_csv(
             if not surface:
                 raise ValueError(f"{path}:{ln}: empty surface")
             try:
-                lid, rid, cost = (int(fields[i]) for i in (1, 2, 3))
+                lid = int(fields[1])
+                rid = int(fields[2])
+                cost = int(fields[3])
             except ValueError as e:
                 raise ValueError(f"{path}:{ln}: non-integer id/cost") from e
             pos = tuple(p for p in fields[4:8] if p not in ("*", ""))

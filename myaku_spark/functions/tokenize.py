@@ -108,16 +108,69 @@ def tokenize_whitespace_col(col_name: str) -> Column:
 def explode_whitespace_tokens(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(doc_id, term, start, len) rows — one per token occurrence."""
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(tokenize_whitespace_col(text_col)).alias("t"),
-    )
-    return toks.select(
-        "doc_id",
-        F.col("t.tok").alias("term"),
-        F.col("t.start").alias("start"),
-        F.length("t.tok").alias("len"),
+    """(doc_id, term, start, len) rows — one per token occurrence.
+
+    Vectorized mapInArrow kernel (r7): the previous pure-Catalyst
+    ``aggregate``/``array_append`` fold was O(n² · token bytes) per
+    document — every append re-copied the whole accumulated struct
+    array including all token bytes — and its large generated method
+    re-compiled per query. Here pyarrow splits the batch in one pass
+    and numpy computes the running offsets with a cumsum (O(n) total,
+    no per-row Python). Output is bit-identical to the Catalyst fold
+    (parity-tested): offsets assume single-space separation and count
+    empty tokens' separators; empty tokens are dropped; a NULL text
+    yields no rows (explode-of-null semantics)."""
+    id_type = dict(df.dtypes)[id_col]
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            names = rb.schema.names
+            ids = rb.column(names.index(id_col))
+            texts = rb.column(names.index(text_col))
+            lst = pc.split_pattern(texts, " ")
+            if isinstance(lst, pa.ChunkedArray):
+                lst = lst.combine_chunks()
+            offs = np.asarray(lst.offsets)
+            flat = lst.values
+            lens = (
+                pc.utf8_length(flat)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            n_tok = np.diff(offs)
+            # start_i = exclusive cumsum of (len + 1), reset per doc
+            cum = np.concatenate(([0], np.cumsum(lens + 1)[:-1]))
+            doc_base = (
+                cum[offs[:-1]]
+                if len(offs) > 1
+                else np.array([], dtype=np.int64)
+            )
+            starts = cum - np.repeat(doc_base, n_tok)
+            row_idx = np.repeat(
+                np.arange(rb.num_rows, dtype=np.int64), n_tok
+            )
+            keep = lens > 0
+            keep_pa = pa.array(keep)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(row_idx[keep])),
+                    flat.filter(keep_pa),
+                    pa.array(starts[keep].astype(np.int32)),
+                    pa.array(lens[keep].astype(np.int32)),
+                ],
+                names=["doc_id", "term", "start", "len"],
+            )
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
+    ).mapInArrow(
+        gen, f"doc_id {id_type}, term string, start int, len int"
     )
 
 

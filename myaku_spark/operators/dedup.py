@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from myaku_spark.operators.textstats import WS_SPLIT
+
 MH_PRIME = 2147483647
 
 
@@ -220,7 +222,7 @@ def simhash(
     one aggregation (cheap: single shuffle on doc_id)."""
     toks = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
+        F.explode(F.split(F.col(text_col), WS_SPLIT)).alias("tok"),
     ).filter(F.length("tok") > 0)
     h = toks.withColumn("_h", F.xxhash64("tok"))
     def bitmask(j):
@@ -570,7 +572,7 @@ def normalize_paragraph(col):
     c = F.lower(col)
     c = F.regexp_replace(c, "[0-9]", "")
     c = F.regexp_replace(c, PUNCT_CLASS, "")
-    c = F.trim(F.regexp_replace(c, "\\s+", " "))
+    c = F.trim(F.regexp_replace(c, WS_SPLIT, " "))
     return c
 
 
@@ -657,14 +659,18 @@ def repeated_substring_spans(
     """
     l = int(min_len)
     if gram_key == "auto":
-        est = int(
-            str(
-                docs._jdf.queryExecution()
-                .optimizedPlan()
-                .stats()
-                .sizeInBytes()
+        try:
+            # Private py4j API: absent under Spark Connect (ADVICE r6).
+            est = int(
+                str(
+                    docs._jdf.queryExecution()
+                    .optimizedPlan()
+                    .stats()
+                    .sizeInBytes()
+                )
             )
-        )
+        except Exception:  # noqa: BLE001 — no _jdf (Connect) etc.
+            est = SUBSTRING_HASH_GRAM_BYTES + 1  # unknown ⇒ shuffle-safe
         gram_key = (
             "hash" if est > SUBSTRING_HASH_GRAM_BYTES else "raw"
         )

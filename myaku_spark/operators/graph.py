@@ -89,6 +89,7 @@ def pagerank(
     nodes: DataFrame | None = None,
     n_iter: int = 3,
     damping: float = 0.85,
+    persist_every: int = 4,
 ) -> DataFrame:
     """(node, rank) after ``n_iter`` damped power iterations.
 
@@ -103,6 +104,13 @@ def pagerank(
     persist is what keeps lineage O(1) instead of O(iters) — dropping
     it would make any consumer recompute the whole unpersisted chain).
     Long-lived callers should ``.unpersist()`` it once consumed.
+
+    ``persist_every`` (r7): intermediate iterations persist/materialize
+    only every k-th round instead of every round — a materialize action
+    per iteration cost one extra job + cache write for a lineage that
+    Catalyst handles fine at small depths; the periodic cut still
+    bounds plan growth for large ``n_iter``. The final iteration always
+    persists (the consumer-access contract above).
     """
     if nodes is None:
         nodes = (
@@ -121,7 +129,8 @@ def pagerank(
     )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     teleport = (1.0 - damping) / n
-    for _ in range(int(n_iter)):
+    persisted = None  # the last materialized frame in the chain
+    for it in range(int(n_iter)):
         contrib = (
             edges.join(ranks, edges["src"] == ranks["node"])
             .join(deg, "src")
@@ -132,19 +141,20 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
-        new_ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(teleport)
-                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            .persist()
+        new_ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("rank"),
         )
-        new_ranks.count()  # materialize before dropping the parent
-        ranks.unpersist()  # no-op on the (unpersisted) iteration-0 frame
+        last = it == int(n_iter) - 1
+        if last or (it + 1) % max(1, int(persist_every)) == 0:
+            new_ranks = new_ranks.persist()
+            new_ranks.count()  # materialize before dropping the parent
+            if persisted is not None:
+                persisted.unpersist()
+            persisted = new_ranks
         ranks = new_ranks
     nodes.unpersist()
     return ranks

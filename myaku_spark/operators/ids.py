@@ -26,14 +26,23 @@ from pyspark.sql import functions as F
 def assign_doc_ids(
     df: DataFrame,
     order_cols: list[str] | None = None,
-    n_buckets: int = 256,
+    n_buckets: int | None = None,
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Dense 0-based ids equal to the global rank under order_cols
     (default [warc_ts, url]). Two shuffles (range exchange + the
     window's hash exchange on the partition id); works identically at
-    10^12 rows with n_buckets sized to the cluster."""
+    10^12 rows with n_buckets sized to the cluster.
+
+    ``n_buckets`` defaults to 2x the cluster's default parallelism
+    (capped at 256): the assigned ids are bucket-boundary-independent
+    (global rank under a unique sort key), so the count only sets the
+    range-exchange task width — a fixed 256 paid ~750 near-empty tasks
+    across the checkpoint/count/window stages on small local runs."""
     order_cols = order_cols or ["warc_ts", "url"]
+    if n_buckets is None:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        n_buckets = max(8, min(256, par * 2))
     order = [F.col(c) for c in order_cols]
     # MATERIALIZE the range exchange before deriving anything from it:
     # the per-bucket counts job and the final id job below must see the

@@ -25,13 +25,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from myaku_spark.operators.textstats import WS_SPLIT
+
 BOS = "<s>"
 
 
 def _tokens(text_col: str) -> Column:
     """Lowercased whitespace tokens with empties dropped, BOS prepended."""
     toks = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+        F.split(F.lower(F.col(text_col)), WS_SPLIT), lambda x: x != ""
     )
     return F.concat(F.array(F.lit(BOS)), toks)
 

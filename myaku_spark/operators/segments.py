@@ -171,6 +171,7 @@ def build_segments(
     head_df_threshold: int = HEAD_DF_THRESHOLD,
     block_doc_range: int = BLOCK_DOC_RANGE,
     with_positions: bool = True,
+    encode_partitions: int | None = None,
 ) -> DataFrame:
     """postings (term, doc_id, tf[, positions], payload[, dl]) → segment rows.
 
@@ -243,15 +244,24 @@ def build_segments(
         sel.append(F.expr("transform(plist, x -> x.lens)").alias("pos_lens"))
     # NOTE: doc-range head blocking assumes DENSE doc ids (ids.py);
     # sparse/hashed ids would fragment head terms into 1-posting blocks.
-    # The explicit repartition spreads the CPU-bound encode across all
-    # cores — measured 1.6x faster than relying on AQE's byte-based
-    # post-shuffle sizing for this stage.
-    par = both.sparkSession.sparkContext.defaultParallelism
-    return (
-        agg.select(*sel)
-        .repartition(par * 2)
-        .mapInArrow(_encode_rows, SEGMENT_SCHEMA)
-    )
+    #
+    # Encode-stage parallelism (r7): the mapInArrow encode is CPU-bound,
+    # so bytes-per-partition is the wrong sizing signal for AQE. Full
+    # builds pass an explicit ``encode_partitions`` (build_index uses
+    # 2x cores — measured 1.6x faster than AQE's byte-based post-shuffle
+    # sizing for that stage). The default instead keys the exchange by
+    # (term, block_id) with NO fixed count, which AQE may coalesce:
+    # serving-path calls over a handful of query terms collapse to a few
+    # encode/decode tasks (the previous unconditional 2x-cores fan-out
+    # cost ~1 s of empty-task overhead per phrase query at bench scale,
+    # 64 tasks for 3 blocks), while large inputs keep the configured
+    # shuffle width.
+    out = agg.select(*sel)
+    if encode_partitions is not None:
+        out = out.repartition(encode_partitions)
+    else:
+        out = out.repartition(F.col("term"), F.col("block_id"))
+    return out.mapInArrow(_encode_rows, SEGMENT_SCHEMA)
 
 
 def write_segments(segments: DataFrame, path: str, mode: str = "overwrite"):

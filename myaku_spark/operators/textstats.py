@@ -20,6 +20,15 @@ LANG_MARKERS = {
 }
 
 
+# Whitespace-run split pattern, spelled as the explicit character class
+# RE2's \s matches ([\t\n\f\r ]) instead of Java-regex \s (which also
+# matches U+000B vertical tab): the DuckDB oracles split with RE2 \s+,
+# so a \x0B-bearing document would silently diverge between engines
+# under Java \s+ (ADVICE r6, gopher item — applied to every
+# oracle-paired split). Same portability move as dedup.PUNCT_CLASS.
+WS_SPLIT = "[ \\t\\n\\f\\r]+"
+
+
 def charclass_ratios(text: Column) -> dict[str, Column]:
     """Character-class ratios used by both lang-ID and quality scoring."""
     total = F.greatest(F.length(text), F.lit(1))
@@ -50,7 +59,7 @@ def detect_language(
     languages are ranked by marker-stopword hit counts."""
     text = F.col(text_col)
     r = charclass_ratios(text)
-    toks = F.split(F.lower(text), r"\s+")
+    toks = F.split(F.lower(text), WS_SPLIT)
     marker_counts = {
         lang: F.size(
             F.array_intersect(
@@ -84,7 +93,7 @@ def quality_signals(
     stopword ratio, mean token length — the usual pre-training filters."""
     text = F.col(text_col)
     r = charclass_ratios(text)
-    toks = F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0)
+    toks = F.filter(F.split(text, WS_SPLIT), lambda t: F.length(t) > 0)
     n_toks = F.size(toks)
     stop = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
     stop_hits = F.size(
@@ -130,7 +139,7 @@ def token_counts(
     """Whitespace tokens + a BPE-ish subword estimate (regex word pieces:
     letter runs, digit runs, single punctuation — the standard pretok)."""
     text = F.col(text_col)
-    ws = F.size(F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0))
+    ws = F.size(F.filter(F.split(text, WS_SPLIT), lambda t: F.length(t) > 0))
     pieces = F.size(
         F.filter(
             F.split(
@@ -165,7 +174,7 @@ def token_gram_rows(
     over (_toks, i)."""
     base = df.select(
         F.col(id_col).alias("doc_id"),
-        F.split(F.col(text_col), r"\s+").alias("_toks"),
+        F.split(F.col(text_col), WS_SPLIT).alias("_toks"),
     )
     expr = (
         f"transform(CASE WHEN size(_toks) >= {k}"
@@ -372,7 +381,7 @@ def gopher_quality(
     other textstats filter); a NULL text fails the word-count floor and
     lands kept=false with zeroed signals."""
     text = F.coalesce(F.col(text_col), F.lit(""))
-    words = F.filter(F.split(text, r"\s+"), lambda w: F.length(w) > 0)
+    words = F.filter(F.split(text, WS_SPLIT), lambda w: F.length(w) > 0)
     n_words = F.size(words)
     nw = F.greatest(n_words, F.lit(1)).cast("double")
     mean_wl = F.length(F.concat_ws("", words)) / nw

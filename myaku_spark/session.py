@@ -66,6 +66,28 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # Codegen classes from a many-query session fill the JVM's
+        # default 240 MB code cache (measured >115 MB halfway through
+        # the bench query set); once full, UseCodeCacheFlushing evicts
+        # silently and hot generated methods fall back to interpreted
+        # execution (observed as 5-8x executor CPU inflation on
+        # identical queries). 512 MB keeps compiled code resident.
+        # Applied to executors too for cluster deployments (same
+        # generated classes run there).
+        .config(
+            "spark.driver.extraJavaOptions",
+            (
+                "-XX:ReservedCodeCacheSize=512m "
+                + os.environ.get("SPARK_GRAFT_JAVA_OPTS", "")
+            ).strip(),
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            (
+                "-XX:ReservedCodeCacheSize=512m "
+                + os.environ.get("SPARK_GRAFT_JAVA_OPTS", "")
+            ).strip(),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])

@@ -197,3 +197,37 @@ def test_whitespace_tokens_offsets(spark):
     # Double space: empty token advances offset by 1 but is filtered.
     assert rows[(1, "ef")] == (7, 2)
     assert rows[(2, "x")] == (0, 1)
+
+
+def test_whitespace_tokens_arrow_matches_catalyst_fold(spark):
+    """The vectorized mapInArrow kernel must be row-identical to the
+    pure-Catalyst aggregate() fold (the oracle-SQL twin) on edge cases:
+    multi/leading/trailing spaces, empty string, NULL text, unicode
+    (char offsets, not bytes), and a spaces-only string."""
+    from pyspark.sql import functions as F
+
+    from myaku_spark.functions.tokenize import tokenize_whitespace_col
+
+    rows = [
+        (1, "ab cd  ef"),
+        (2, " lead"),
+        (3, "trail "),
+        (4, ""),
+        (5, None),
+        (6, "   "),
+        (7, "日本 語の テスト"),
+        (8, "one"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    arrow = explode_whitespace_tokens(df)
+    fold = df.select(
+        "doc_id", F.explode(tokenize_whitespace_col("text")).alias("t")
+    ).select(
+        "doc_id",
+        F.col("t.tok").alias("term"),
+        F.col("t.start").alias("start"),
+        F.length("t.tok").alias("len"),
+    )
+    assert sorted(map(tuple, arrow.collect())) == sorted(
+        map(tuple, fold.collect())
+    )
