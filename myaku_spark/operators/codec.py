@@ -22,11 +22,8 @@ import numpy as np
 _ZLIB_LEVEL = 1
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array (vectorized byte-plane assembly)."""
-    v = np.asarray(values, dtype=np.uint64)
-    if v.size == 0:
-        return b""
+def _varint_bytes_and_lengths(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """LEB128 byte plane + per-value byte length for a uint64 array."""
     # Byte length per value: ceil(bit_length / 7), min 1.
     bl = np.zeros(v.shape, dtype=np.int64)
     tmp = v.copy()
@@ -51,6 +48,15 @@ def varint_encode(values: np.ndarray) -> bytes:
         more = (k + 1) < bl[sel]
         out[idx] = byte | (more.astype(np.uint8) << 7)
         tmp = tmp >> np.uint64(7)
+    return out, bl
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array (vectorized byte-plane assembly)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    out, _ = _varint_bytes_and_lengths(v)
     return out.tobytes()
 
 
@@ -168,6 +174,136 @@ def encode_block_arrays(
     else:
         parts.append(b"\x00")
     return zlib.compress(b"".join(parts), _ZLIB_LEVEL)
+
+
+def encode_blocks_batch(
+    doc_off: np.ndarray,
+    doc_vals: np.ndarray,
+    tf_vals: np.ndarray,
+    pay_vals: np.ndarray,
+    pos_off: np.ndarray | None = None,
+    pos_starts: np.ndarray | None = None,
+    pos_lens: np.ndarray | None = None,
+) -> tuple[list[bytes], dict[str, np.ndarray]]:
+    """Encode MANY posting blocks in one vectorized pass.
+
+    Byte-identical to calling :func:`encode_block_arrays` per block
+    (parity-tested), but the varint byte-plane assembly runs ONCE over
+    the concatenation of every block's value stream instead of ~10
+    numpy kernel launches per block — at small block sizes (serving
+    tier, range-blocked head terms) per-block fixed cost dominates the
+    encode stage, and this removes it. Per block the only remaining
+    Python work is one ``zlib.compress`` over a memoryview slice.
+
+    The trick making one pass possible: the pre-zlib layout of a block
+    is a single varint stream ``[n, doc-deltas.., tfs.., 1, zigzag
+    scores.., flag, (start-delta, len)..]`` — the flag bytes are
+    themselves valid 1-byte varints — so the whole batch is one value
+    array with per-block boundaries, and per-value byte lengths give
+    each block's byte extent.
+
+    Args:
+        doc_off: int64 ``[B+1]`` offsets into the flat value arrays
+            (rebased to 0; blocks must be contiguous and in order).
+        doc_vals/tf_vals/pay_vals: flat per-posting values (doc ids
+            sorted ascending within each block).
+        pos_off: ``[B+1]`` offsets into pos_starts/pos_lens, or None
+            when positions are absent.
+    Returns:
+        (blobs, meta) where meta holds per-block ``n_postings``,
+        ``min_doc``, ``max_doc``, ``max_tf``, ``max_score``, ``sum_tf``.
+    """
+    doc_off = np.asarray(doc_off, dtype=np.int64)
+    b_cnt = doc_off.size - 1
+    if b_cnt <= 0:
+        return [], {
+            k: np.empty(0, dtype=np.int64)
+            for k in (
+                "n_postings", "min_doc", "max_doc",
+                "max_tf", "max_score", "sum_tf",
+            )
+        }
+    dv = np.asarray(doc_vals, dtype=np.uint64)
+    tf_u = np.asarray(tf_vals, dtype=np.uint64)
+    n_per = np.diff(doc_off)
+    has_pos = pos_off is not None
+    if has_pos:
+        pos_off = np.asarray(pos_off, dtype=np.int64)
+        m_per = np.diff(pos_off)
+    else:
+        m_per = np.zeros(b_cnt, dtype=np.int64)
+
+    # Per-block value counts → value-stream offsets O[i] per block.
+    c = 1 + 3 * n_per + 2 + 2 * m_per
+    off = np.concatenate(([0], np.cumsum(c)))
+    vals = np.empty(int(off[-1]), dtype=np.uint64)
+
+    # [n]
+    vals[off[:-1]] = n_per.astype(np.uint64)
+    # segmented intra-block index per posting
+    intra = np.arange(dv.size, dtype=np.int64) - np.repeat(
+        doc_off[:-1], n_per
+    )
+    # doc deltas with block-head resets
+    deltas = dv.copy()
+    if dv.size:
+        deltas[1:] = dv[1:] - dv[:-1]
+        deltas[doc_off[:-1]] = dv[doc_off[:-1]]
+    vals[np.repeat(off[:-1] + 1, n_per) + intra] = deltas
+    # tfs
+    vals[np.repeat(off[:-1] + 1 + n_per, n_per) + intra] = tf_u
+    # payload flag + zigzag payloads
+    vals[off[:-1] + 1 + 2 * n_per] = 1
+    s = np.asarray(pay_vals, dtype=np.int64)
+    zz = ((s << 1) ^ (s >> 63)).astype(np.uint64)
+    vals[np.repeat(off[:-1] + 2 + 2 * n_per, n_per) + intra] = zz
+    # positions flag + interleaved (start-delta, len)
+    pflag_idx = off[:-1] + 2 + 3 * n_per
+    if has_pos:
+        vals[pflag_idx] = 1
+        starts = np.asarray(pos_starts, dtype=np.int64)
+        lens_u = np.asarray(pos_lens, dtype=np.uint64)
+        pdeltas = starts.copy()
+        if starts.size:
+            pdeltas[1:] -= starts[:-1]
+            # Reset at each posting's first position — same head rule
+            # as encode_block_arrays (heads from cumsum(tf) per block).
+            csum_tf = np.concatenate(
+                ([0], np.cumsum(tf_u.astype(np.int64)))
+            )
+            first_post = np.repeat(doc_off[:-1], n_per)
+            local = csum_tf[: dv.size] - csum_tf[first_post]
+            head = np.repeat(pos_off[:-1], n_per) + local
+            pdeltas[head] = starts[head]
+        inter = np.empty(starts.size * 2, dtype=np.uint64)
+        inter[0::2] = pdeltas.astype(np.uint64)
+        inter[1::2] = lens_u
+        intra_pos = np.arange(inter.size, dtype=np.int64) - np.repeat(
+            2 * pos_off[:-1], 2 * m_per
+        )
+        vals[np.repeat(pflag_idx + 1, 2 * m_per) + intra_pos] = inter
+    else:
+        vals[pflag_idx] = 0
+
+    byte_plane, bl = _varint_bytes_and_lengths(vals)
+    byte_ends = np.concatenate(([0], np.cumsum(bl)))
+    blk_bytes = byte_ends[off]
+    buf = byte_plane.tobytes()
+    mv = memoryview(buf)
+    blobs = [
+        zlib.compress(mv[blk_bytes[i] : blk_bytes[i + 1]], _ZLIB_LEVEL)
+        for i in range(b_cnt)
+    ]
+    tf_i = np.asarray(tf_vals, dtype=np.int64)
+    meta = {
+        "n_postings": n_per,
+        "min_doc": np.asarray(doc_vals)[doc_off[:-1]].astype(np.int64),
+        "max_doc": np.asarray(doc_vals)[doc_off[1:] - 1].astype(np.int64),
+        "max_tf": np.maximum.reduceat(tf_i, doc_off[:-1]),
+        "max_score": np.maximum.reduceat(s, doc_off[:-1]),
+        "sum_tf": np.add.reduceat(tf_i, doc_off[:-1]),
+    }
+    return blobs, meta
 
 
 def decode_block(

@@ -71,11 +71,13 @@ def term_bucket_col(term_col):
 def _encode_rows(batches):
     """mapInArrow: one input row per (term, block) with pre-aggregated
     primitive-list columns → one segment row. Flat value buffers + list
-    offsets come straight off the Arrow arrays; per-block work is numpy
-    slicing + the vectorized codec — no per-posting Python objects."""
+    offsets come straight off the Arrow arrays; the whole batch of
+    blocks is varint-encoded in ONE vectorized pass
+    (codec.encode_blocks_batch) — per-block Python work is a single
+    zlib.compress over a byte slice, no per-posting Python objects."""
     import pyarrow as pa
 
-    from myaku_spark.operators.codec import encode_block_arrays
+    from myaku_spark.operators.codec import encode_blocks_batch
 
     out_schema = pa.schema(
         [
@@ -106,13 +108,20 @@ def _encode_rows(batches):
             continue
         names = rb.schema.names
         has_pos = "pos_starts" in names
-        terms = rb.column(names.index("term")).to_pylist()
+        terms = rb.column(names.index("term"))
         block_ids = np.asarray(rb.column(names.index("block_id")))
         buckets = np.asarray(rb.column(names.index("bucket")))
         min_dls = np.asarray(rb.column(names.index("min_dl")))
         d_off, d_vals = list_parts(rb.column(names.index("doc_ids")))
         t_off, t_vals = list_parts(rb.column(names.index("tfs")))
         p_off, p_vals = list_parts(rb.column(names.index("payloads")))
+        # Rebase each flat array to its own offset 0 (sliced Arrow
+        # arrays may start mid-buffer); per-row lengths are identical
+        # across the parallel list columns by construction.
+        d_vals = d_vals[d_off[0] : d_off[-1]]
+        t_vals = t_vals[t_off[0] : t_off[-1]]
+        p_vals = p_vals[p_off[0] : p_off[-1]]
+        doc_off = (d_off - d_off[0]).astype(np.int64)
         if has_pos:
             # list<list<int32>>: outer offsets per block, inner per posting.
             ps_outer = rb.column(names.index("pos_starts"))
@@ -123,42 +132,31 @@ def _encode_rows(batches):
             ps_oo = np.asarray(ps_outer.offsets)
             ps_io = np.asarray(ps_outer.values.offsets)
             ps_flat = np.asarray(ps_outer.values.values)
+            pl_oo = np.asarray(pl_outer.offsets)
+            pl_io = np.asarray(pl_outer.values.offsets)
             pl_flat = np.asarray(pl_outer.values.values)
-        blobs, n_post, min_doc, max_doc, max_tf, max_score, sum_tf = (
-            [], [], [], [], [], [], []
+            pos_off = ps_io[ps_oo].astype(np.int64)
+            pl_off = pl_io[pl_oo].astype(np.int64)
+            pos_starts = ps_flat[pos_off[0] : pos_off[-1]].astype(np.int64)
+            pos_lens = pl_flat[pl_off[0] : pl_off[-1]].astype(np.int64)
+            pos_off = pos_off - pos_off[0]
+        else:
+            pos_off = pos_starts = pos_lens = None
+        blobs, meta = encode_blocks_batch(
+            doc_off, d_vals, t_vals, p_vals, pos_off, pos_starts, pos_lens
         )
-        for i in range(n):
-            doc_ids = d_vals[d_off[i] : d_off[i + 1]].astype(np.uint64)
-            tfs = t_vals[t_off[i] : t_off[i + 1]].astype(np.uint64)
-            payload = p_vals[p_off[i] : p_off[i + 1]].astype(np.int64)
-            if has_pos:
-                lo = ps_io[ps_oo[i]]
-                hi = ps_io[ps_oo[i + 1]]
-                flat_starts = ps_flat[lo:hi].astype(np.int64)
-                flat_lens = pl_flat[lo:hi].astype(np.int64)
-            else:
-                flat_starts = flat_lens = None
-            blobs.append(
-                encode_block_arrays(doc_ids, tfs, payload, flat_starts, flat_lens)
-            )
-            n_post.append(doc_ids.size)
-            min_doc.append(int(doc_ids[0]))
-            max_doc.append(int(doc_ids[-1]))
-            max_tf.append(int(tfs.max()))
-            max_score.append(int(payload.max()))
-            sum_tf.append(int(tfs.sum()))
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array(buckets.astype(np.int32)),
-                pa.array(terms, type=pa.string()),
+                terms.cast(pa.string()) if terms.type != pa.string() else terms,
                 pa.array(block_ids.astype(np.int64)),
-                pa.array(np.asarray(n_post, dtype=np.int32)),
-                pa.array(np.asarray(min_doc, dtype=np.int64)),
-                pa.array(np.asarray(max_doc, dtype=np.int64)),
-                pa.array(np.asarray(max_tf, dtype=np.int32)),
+                pa.array(meta["n_postings"].astype(np.int32)),
+                pa.array(meta["min_doc"]),
+                pa.array(meta["max_doc"]),
+                pa.array(meta["max_tf"].astype(np.int32)),
                 pa.array(min_dls.astype(np.int64)),
-                pa.array(np.asarray(max_score, dtype=np.int64)),
-                pa.array(np.asarray(sum_tf, dtype=np.int64)),
+                pa.array(meta["max_score"].astype(np.int64)),
+                pa.array(meta["sum_tf"].astype(np.int64)),
                 pa.array(blobs, type=pa.binary()),
             ],
             schema=out_schema,
@@ -184,12 +182,19 @@ def build_segments(
         scored_postings.withColumnRenamed(payload_col, "payload")
         .join(tstats, "term")
         .withColumn("bucket", term_bucket_col(F.col("term")))
-    )
-    head = p.filter(F.col("df") > head_df_threshold).withColumn(
-        "block_id", (F.col("doc_id") / F.lit(block_doc_range)).cast("long")
-    )
-    tail = p.filter(F.col("df") <= head_df_threshold).withColumn(
-        "block_id", F.lit(0).cast("long")
+        # Single-pass head/tail block split: a filter-pair + union here
+        # would compute the tstats join subtree twice (ReusedExchange
+        # dedups only the shuffle write, not the join) — one
+        # conditional block_id keeps one subtree and lets the
+        # groupBy(term, block_id) below reuse the join's term
+        # partitioning (term ⊆ grouping key ⇒ no second exchange).
+        .withColumn(
+            "block_id",
+            F.when(
+                F.col("df") > head_df_threshold,
+                (F.col("doc_id") / F.lit(block_doc_range)).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
     )
     # Positions arrive either as struct arrays ('positions') or as
     # pre-split primitive arrays ('starts'/'lens', the ja_posting_rows
@@ -204,7 +209,7 @@ def build_segments(
     has_dl = "dl" in p.columns
     if has_dl:
         cols.append("dl")
-    both = head.select(*cols).unionByName(tail.select(*cols))
+    both = p.select(*cols)
 
     # JVM-side block assembly: sort postings into one struct list per
     # (term, block), then peel aligned primitive arrays with transform()
@@ -245,22 +250,19 @@ def build_segments(
     # NOTE: doc-range head blocking assumes DENSE doc ids (ids.py);
     # sparse/hashed ids would fragment head terms into 1-posting blocks.
     #
-    # Encode-stage parallelism (r7): the mapInArrow encode is CPU-bound,
-    # so bytes-per-partition is the wrong sizing signal for AQE. Full
-    # builds pass an explicit ``encode_partitions`` (build_index uses
-    # 2x cores — measured 1.6x faster than AQE's byte-based post-shuffle
-    # sizing for that stage). The default instead keys the exchange by
-    # (term, block_id) with NO fixed count, which AQE may coalesce:
-    # serving-path calls over a handful of query terms collapse to a few
-    # encode/decode tasks (the previous unconditional 2x-cores fan-out
-    # cost ~1 s of empty-task overhead per phrase query at bench scale,
-    # 64 tasks for 3 blocks), while large inputs keep the configured
-    # shuffle width.
+    # Encode-stage parallelism (r7): by default the encode inherits the
+    # aggregation's partitioning — the groupBy(term, block_id) runs on
+    # the tstats join's term-hash exchange (no exchange of its own),
+    # and the batch-vectorized encoder (codec.encode_blocks_batch)
+    # amortizes per-task cost, so no extra exchange of the heavy
+    # array rows is needed: serving-path calls over a handful of query
+    # terms collapse to the join's few AQE-coalesced tasks, and full
+    # builds run at the configured shuffle width. Pass an explicit
+    # ``encode_partitions`` to force a fan-out when a deployment's
+    # shuffle width is far below its core count.
     out = agg.select(*sel)
     if encode_partitions is not None:
         out = out.repartition(encode_partitions)
-    else:
-        out = out.repartition(F.col("term"), F.col("block_id"))
     return out.mapInArrow(_encode_rows, SEGMENT_SCHEMA)
 
 

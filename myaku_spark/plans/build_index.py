@@ -191,13 +191,12 @@ def build_group(
         payload_col="score" if mode == "myaku" else "dl",
         head_df_threshold=head_df_threshold or HEAD_DF_THRESHOLD,
         block_doc_range=block_doc_range or BLOCK_DOC_RANGE,
-        # Full-build encode is CPU-bound across the whole corpus: pin
-        # the stage to 2x cores (measured 1.6x over AQE byte-sizing)
-        # rather than the serving-path adaptive default.
-        encode_partitions=spark.sparkContext.defaultParallelism * 2,
+        # Encode inherits the tstats join's term-hash partitioning
+        # (shuffle width); the r7 batch-vectorized encoder amortizes
+        # per-task cost, and the previously pinned 2x-cores fan-out
+        # re-measured as a net loss (an extra exchange of the heavy
+        # array rows: +0.7-1.4 s at bench scale).
     )
-    write_segments(segments, f"{paths['segments']}/group={group}")
-
     doc_out = docs.join(dstats, "doc_id", "left").select(
         "doc_id",
         "url",
@@ -207,7 +206,34 @@ def build_group(
         F.col("doc_score").cast("long").alias("doc_score"),
         F.col("warc_ts").alias("doc_ts"),
     )
-    doc_out.write.mode("overwrite").parquet(f"{paths['docs']}/group={group}")
+    tstats = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+    # Materialize the shared cached inputs ONCE (dstats forces postings
+    # too), then run the three independent writes from a small thread
+    # pool (guide §2.6): each write's task tail back-fills cores freed
+    # by the others instead of serializing three stragglers.
+    dstats.count()
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _w_segments():
+        write_segments(segments, f"{paths['segments']}/group={group}")
+
+    def _w_docs():
+        doc_out.write.mode("overwrite").parquet(
+            f"{paths['docs']}/group={group}"
+        )
+
+    def _w_tstats():
+        tstats.write.mode("overwrite").parquet(
+            f"{paths['term_stats']}/group={group}"
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [pool.submit(w) for w in (_w_segments, _w_docs, _w_tstats)]
+        for f in futs:
+            f.result()
 
     if with_analysis:
         # Interp-analysis sidecar (§1.3 posting fields the reference keeps
@@ -223,14 +249,6 @@ def build_group(
         analysis.write.mode("overwrite").parquet(
             f"{index_dir}/analysis/group={group}"
         )
-
-    tstats = postings.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("df"),
-        F.sum("tf").cast("long").alias("cf"),
-    )
-    tstats.write.mode("overwrite").parquet(
-        f"{paths['term_stats']}/group={group}"
-    )
 
     seg_stats = spark.read.parquet(f"{paths['segments']}/group={group}").agg(
         F.countDistinct("term").alias("terms"),

@@ -131,3 +131,77 @@ def test_compression_actually_compresses():
     tfs = np.ones(n, dtype=np.uint64)
     blob = encode_block(doc_ids, tfs)
     assert len(blob) < n  # far smaller than 8 bytes/posting
+
+
+def test_encode_blocks_batch_matches_per_block():
+    """The r7 batch encoder must be byte-identical to per-block
+    encode_block_arrays (same varint stream, same zlib framing) and
+    report the same per-block metadata."""
+    from myaku_spark.operators.codec import (
+        encode_block_arrays,
+        encode_blocks_batch,
+    )
+
+    rng = np.random.default_rng(7)
+    B = 200
+    doc_l, tf_l, pay_l, st_l, ln_l = [], [], [], [], []
+    for _ in range(B):
+        n = int(rng.integers(1, 50))
+        doc_l.append(
+            np.sort(
+                rng.choice(5_000_000, size=n, replace=False)
+            ).astype(np.uint64)
+        )
+        tfs = rng.integers(1, 5, size=n).astype(np.uint64)
+        tf_l.append(tfs)
+        pay_l.append(rng.integers(-50, 9_000_000, size=n).astype(np.int64))
+        m = int(tfs.sum())
+        st_l.append(np.sort(rng.integers(0, 60_000, size=m)).astype(np.int64))
+        ln_l.append(rng.integers(1, 9, size=m).astype(np.int64))
+    doc_off = np.concatenate(([0], np.cumsum([len(d) for d in doc_l])))
+    pos_off = np.concatenate(([0], np.cumsum([len(s) for s in st_l])))
+
+    # with positions
+    ref = [
+        encode_block_arrays(d, t, p, s, ln)
+        for d, t, p, s, ln in zip(doc_l, tf_l, pay_l, st_l, ln_l)
+    ]
+    blobs, meta = encode_blocks_batch(
+        doc_off,
+        np.concatenate(doc_l),
+        np.concatenate(tf_l),
+        np.concatenate(pay_l),
+        pos_off,
+        np.concatenate(st_l),
+        np.concatenate(ln_l),
+    )
+    assert blobs == ref
+    # without positions
+    ref2 = [
+        encode_block_arrays(d, t, p, None, None)
+        for d, t, p in zip(doc_l, tf_l, pay_l)
+    ]
+    blobs2, _ = encode_blocks_batch(
+        doc_off,
+        np.concatenate(doc_l),
+        np.concatenate(tf_l),
+        np.concatenate(pay_l),
+    )
+    assert blobs2 == ref2
+    # metadata parity + roundtrip
+    for i in (0, 13, B - 1):
+        assert meta["n_postings"][i] == len(doc_l[i])
+        assert meta["min_doc"][i] == int(doc_l[i][0])
+        assert meta["max_doc"][i] == int(doc_l[i][-1])
+        assert meta["max_tf"][i] == int(tf_l[i].max())
+        assert meta["max_score"][i] == int(pay_l[i].max())
+        assert meta["sum_tf"][i] == int(tf_l[i].sum())
+        dec = decode_block(blobs[i])
+        assert np.array_equal(dec["doc_ids"], doc_l[i])
+        assert np.array_equal(dec["scores"], pay_l[i])
+
+    # empty batch
+    blobs3, meta3 = encode_blocks_batch(
+        np.array([0]), np.array([]), np.array([]), np.array([])
+    )
+    assert blobs3 == [] and meta3["n_postings"].size == 0
