@@ -87,6 +87,30 @@ def _warm_jvm(spark: SparkSession) -> None:
                 )
             )
 
+            # ObjectHashAggregate (collect_list) + higher-order
+            # functions + posexplode — the posting/segment agg shape.
+            noop(
+                pq.groupBy("k")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("id", "s"))
+                    ).alias("xs")
+                )
+                .select(
+                    "k",
+                    F.expr("transform(xs, x -> x.id)").alias("ids"),
+                )
+                .select("k", F.posexplode("ids"))
+            )
+            # BroadcastNestedLoopJoin (broadcast crossJoin) + stack
+            # expand — the LM-score and funnel-metrics shapes.
+            one = spark.range(1).select(F.count(F.lit(1)).alias("v"))
+            noop(
+                pq.crossJoin(F.broadcast(one)).selectExpr(
+                    "stack(2, 'a', id, 'b', v) as (sk, sv)"
+                )
+            )
+
             # Arrow Python runner both directions + worker numpy/pandas
             # import storm (one task per core).
             def _echo(batches):
@@ -100,6 +124,17 @@ def _warm_jvm(spark: SparkSession) -> None:
             noop(
                 pq.repartition(par)
                 .mapInArrow(_echo, "id long, k bigint, s string")
+            )
+
+            # Grouped-map Python runner (applyInPandas) — the batched
+            # WAND / sequence-packing shape.
+            def _gm(pdf):
+                return pdf.head(1)
+
+            noop(
+                pq.limit(1000)
+                .groupBy("k")
+                .applyInPandas(_gm, "id long, k bigint, s string")
             )
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
