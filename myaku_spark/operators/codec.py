@@ -306,6 +306,133 @@ def encode_blocks_batch(
     return blobs, meta
 
 
+def decode_blocks_batch(blobs: list[bytes]) -> dict:
+    """Decode MANY posting blocks in one vectorized pass (the decode
+    mirror of :func:`encode_blocks_batch`).
+
+    Per block the only Python work is one ``zlib.decompress``; the
+    concatenated raw streams are LEB128-decoded in ONE
+    ``varint_decode`` call (streams are self-describing, so the
+    concatenation decodes positionally), and block boundaries are then
+    walked in value space (one O(1) step per block) to slice out the
+    per-block sections. Doc ids and position starts are rebuilt with
+    segmented cumsums — no per-posting Python.
+
+    Returns flat arrays plus per-block offsets:
+        n_per       int64 [B]     postings per block
+        doc_off     int64 [B+1]   offsets into doc_ids/tfs/scores
+        doc_ids     int64 flat    (absolute, per block)
+        tfs         int64 flat
+        scores      int64 flat (zeros when a block has no payload)
+        pos_off     int64 [B+1]   offsets into pos_starts/pos_lens
+        pos_starts  int64 flat    (absolute within doc, per posting
+                                   groups of tf — empty when absent)
+        pos_lens    int64 flat
+    """
+    b_cnt = len(blobs)
+    empty = np.empty(0, dtype=np.int64)
+    if b_cnt == 0:
+        z = np.zeros(1, dtype=np.int64)
+        return {
+            "n_per": empty, "doc_off": z, "doc_ids": empty,
+            "tfs": empty, "scores": empty, "pos_off": z,
+            "pos_starts": empty, "pos_lens": empty,
+        }
+    raws = [zlib.decompress(b) for b in blobs]
+    vals = varint_decode(b"".join(raws))
+    # Walk block boundaries in value space. Sections per block:
+    # [n][deltas n][tfs n][flag][scores n?][flag][pos 2*sum(tf)?]
+    n_per = np.empty(b_cnt, dtype=np.int64)
+    d_start = np.empty(b_cnt, dtype=np.int64)
+    s_start = np.empty(b_cnt, dtype=np.int64)  # -1 when absent
+    p_start = np.empty(b_cnt, dtype=np.int64)  # -1 when absent
+    m_per = np.zeros(b_cnt, dtype=np.int64)
+    iv = np.asarray(vals, dtype=np.uint64)
+    i = 0
+    for b in range(b_cnt):
+        n = int(iv[i]); i += 1
+        n_per[b] = n
+        d_start[b] = i
+        i += 2 * n  # deltas + tfs
+        has_scores = int(iv[i]); i += 1
+        if has_scores:
+            s_start[b] = i
+            i += n
+        else:
+            s_start[b] = -1
+        has_pos = int(iv[i]); i += 1
+        if has_pos:
+            # positions count = 2 * sum(tfs of this block)
+            tf_sum = int(
+                iv[d_start[b] + n : d_start[b] + 2 * n].sum()
+            )
+            p_start[b] = i
+            m_per[b] = tf_sum
+            i += 2 * tf_sum
+        else:
+            p_start[b] = -1
+    total_n = int(n_per.sum())
+    doc_off = np.concatenate(([0], np.cumsum(n_per)))
+    # Gather per-section flats with segmented index arithmetic.
+    intra = np.arange(total_n, dtype=np.int64) - np.repeat(
+        doc_off[:-1], n_per
+    )
+    d_idx = np.repeat(d_start, n_per) + intra
+    deltas = iv[d_idx].astype(np.int64)
+    # Segmented cumsum: global cumsum minus the running total at each
+    # block head (safe for empty blocks: their head base is unused by
+    # repeat with count 0, and max() guards the -1 index).
+    g = np.cumsum(deltas)
+    if total_n:
+        head_base = np.where(
+            doc_off[:-1] > 0, g[np.maximum(doc_off[:-1] - 1, 0)], 0
+        )
+    else:
+        head_base = np.zeros(b_cnt, dtype=np.int64)
+    doc_ids = g - np.repeat(head_base, n_per)
+    tfs = iv[d_idx + np.repeat(n_per, n_per)].astype(np.int64)
+    scores = np.zeros(total_n, dtype=np.int64)
+    has_s = s_start >= 0
+    if has_s.any():
+        sel = np.repeat(has_s, n_per)
+        zz = iv[
+            np.repeat(np.where(has_s, s_start, 0), n_per)[sel]
+            + intra[sel]
+        ]
+        scores[sel] = (zz >> np.uint64(1)).astype(np.int64) ^ -(
+            zz & np.uint64(1)
+        ).astype(np.int64)
+    pos_off = np.concatenate(([0], np.cumsum(m_per)))
+    total_m = int(pos_off[-1])
+    if total_m:
+        intra_m = np.arange(total_m, dtype=np.int64) - np.repeat(
+            pos_off[:-1], m_per
+        )
+        p_idx = np.repeat(p_start, m_per) + 2 * intra_m
+        pdeltas = iv[p_idx].astype(np.int64)
+        pos_lens = iv[p_idx + 1].astype(np.int64)
+        # starts restart at each POSTING boundary: global cumsum minus
+        # the cumsum value at each posting's first position.
+        gp = np.cumsum(pdeltas)
+        # Per-posting position counts: tf for blocks carrying
+        # positions, 0 otherwise. The encoder wrote an ABSOLUTE start
+        # at every posting head, so each posting's starts are its
+        # global-cumsum slice minus the cumsum just before its head.
+        ptf = np.where(np.repeat(p_start >= 0, n_per), tfs, 0)
+        post_head = np.concatenate(([0], np.cumsum(ptf)[:-1]))
+        base = np.where(post_head > 0, gp[np.maximum(post_head - 1, 0)], 0)
+        pos_starts = gp - np.repeat(base, ptf)
+    else:
+        pos_starts = empty
+        pos_lens = empty
+    return {
+        "n_per": n_per, "doc_off": doc_off,
+        "doc_ids": doc_ids, "tfs": tfs, "scores": scores,
+        "pos_off": pos_off, "pos_starts": pos_starts,
+        "pos_lens": pos_lens,
+    }
+
+
 def decode_block(
     blob: bytes, pos_arrays: bool = False, pos_flat: bool = False
 ) -> dict:

@@ -47,7 +47,7 @@ def decode_postings(segments: DataFrame, deleted=None) -> DataFrame:
     def gen(batches):
         import pyarrow as pa
 
-        from myaku_spark.operators.codec import decode_block
+        from myaku_spark.operators.codec import decode_blocks_batch
 
         out_schema = pa.schema(
             [
@@ -62,58 +62,44 @@ def decode_postings(segments: DataFrame, deleted=None) -> DataFrame:
             names = rb.schema.names
             terms = rb.column(names.index("term")).to_pylist()
             blobs = rb.column(names.index("blob")).to_pylist()
-            id_parts, tf_parts, term_parts, cnt_parts = [], [], [], []
-            st_parts, ln_parts = [], []
-            for term, blob in zip(terms, blobs):
-                dec = decode_block(blob, pos_flat=True)
-                ids = dec["doc_ids"].astype(np.int64)
-                tfs = dec["tfs"].astype(np.int64)
-                fs = dec.get("pos_starts_flat")
-                fl = dec.get("pos_lens_flat")
-                # Position-list length per posting: tf when the block
-                # stores positions, else 0 (empty lists downstream).
-                ptf = tfs if fs is not None else np.zeros_like(tfs)
-                if deleted is not None and deleted.value.size:
-                    keep = ~np.isin(ids, deleted.value, assume_unique=False)
-                    if fs is not None:
-                        fmask = np.repeat(keep, ptf)
-                        fs, fl = fs[fmask], fl[fmask]
-                    ids, tfs, ptf = ids[keep], tfs[keep], ptf[keep]
-                if ids.size == 0:
-                    continue
-                id_parts.append(ids)
-                tf_parts.append(tfs)
-                cnt_parts.append(ptf)
-                term_parts.append(
-                    np.repeat(np.array([term], dtype=object), ids.size)
-                )
-                if fs is not None:
-                    st_parts.append(fs)
-                    ln_parts.append(fl)
-            if not id_parts:
+            if not blobs:
                 continue
-            cnts = np.concatenate(cnt_parts)
+            # One vectorized decode for the whole batch of blocks
+            # (zlib per block, ONE varint pass, segmented cumsums).
+            dec = decode_blocks_batch(blobs)
+            n_per = dec["n_per"]
+            ids = dec["doc_ids"]
+            tfs = dec["tfs"]
+            fs = dec["pos_starts"]
+            fl = dec["pos_lens"]
+            # Position-list length per posting: tf when its block
+            # stores positions, else 0 (empty lists downstream).
+            m_per = np.diff(dec["pos_off"])
+            ptf = np.where(np.repeat(m_per > 0, n_per), tfs, 0)
+            term_rep = np.repeat(
+                np.asarray(terms, dtype=object), n_per
+            )
+            if deleted is not None and deleted.value.size:
+                keep = ~np.isin(ids, deleted.value, assume_unique=False)
+                fmask = np.repeat(keep, ptf)
+                fs, fl = fs[fmask], fl[fmask]
+                ids, tfs, ptf = ids[keep], tfs[keep], ptf[keep]
+                term_rep = term_rep[keep]
+            if ids.size == 0:
+                continue
             offsets = pa.array(
-                np.concatenate(([0], np.cumsum(cnts))).astype(np.int32)
-            )
-            flat_s = (
-                np.concatenate(st_parts) if st_parts
-                else np.empty(0, dtype=np.int64)
-            )
-            flat_l = (
-                np.concatenate(ln_parts) if ln_parts
-                else np.empty(0, dtype=np.int64)
+                np.concatenate(([0], np.cumsum(ptf))).astype(np.int32)
             )
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(np.concatenate(term_parts), type=pa.string()),
-                    pa.array(np.concatenate(id_parts)),
-                    pa.array(np.concatenate(tf_parts)),
+                    pa.array(term_rep, type=pa.string()),
+                    pa.array(ids),
+                    pa.array(tfs),
                     pa.ListArray.from_arrays(
-                        offsets, pa.array(flat_s.astype(np.int32))
+                        offsets, pa.array(fs.astype(np.int32))
                     ),
                     pa.ListArray.from_arrays(
-                        offsets, pa.array(flat_l.astype(np.int32))
+                        offsets, pa.array(fl.astype(np.int32))
                     ),
                 ],
                 schema=out_schema,

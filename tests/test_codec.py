@@ -205,3 +205,55 @@ def test_encode_blocks_batch_matches_per_block():
         np.array([0]), np.array([]), np.array([]), np.array([])
     )
     assert blobs3 == [] and meta3["n_postings"].size == 0
+
+
+def test_decode_blocks_batch_matches_per_block():
+    """The r7 batch decoder must reproduce per-block decode_block
+    output exactly across blocks with/without positions and scores."""
+    from myaku_spark.operators.codec import (
+        decode_blocks_batch,
+        encode_block_arrays,
+    )
+
+    rng = np.random.default_rng(11)
+    blobs = []
+    for i in range(150):
+        n = int(rng.integers(1, 60))
+        docs = np.sort(
+            rng.choice(9_000_000, size=n, replace=False)
+        ).astype(np.uint64)
+        tfs = rng.integers(1, 6, size=n).astype(np.uint64)
+        if i % 3 == 0:  # no positions
+            blobs.append(encode_block(docs, tfs))
+        else:
+            pays = rng.integers(-100, 5_000_000, size=n).astype(np.int64)
+            m = int(tfs.sum())
+            starts = np.sort(
+                rng.integers(0, 50_000, size=m)
+            ).astype(np.int64)
+            lens = rng.integers(1, 10, size=m).astype(np.int64)
+            blobs.append(encode_block_arrays(docs, tfs, pays, starts, lens))
+    out = decode_blocks_batch(blobs)
+    for i, blob in enumerate(blobs):
+        ref = decode_block(blob, pos_flat=True)
+        lo, hi = out["doc_off"][i], out["doc_off"][i + 1]
+        assert np.array_equal(
+            out["doc_ids"][lo:hi], ref["doc_ids"].astype(np.int64)
+        )
+        assert np.array_equal(out["tfs"][lo:hi], ref["tfs"])
+        if "scores" in ref:
+            assert np.array_equal(out["scores"][lo:hi], ref["scores"])
+        else:
+            assert (out["scores"][lo:hi] == 0).all()
+        plo, phi = out["pos_off"][i], out["pos_off"][i + 1]
+        if "pos_starts_flat" in ref:
+            assert np.array_equal(
+                out["pos_starts"][plo:phi], ref["pos_starts_flat"]
+            )
+            assert np.array_equal(
+                out["pos_lens"][plo:phi], ref["pos_lens_flat"]
+            )
+        else:
+            assert phi == plo
+    empty = decode_blocks_batch([])
+    assert empty["n_per"].size == 0
