@@ -26,7 +26,11 @@ def alnum_count_py(s: str) -> int:
 
 @F.pandas_udf(LongType())
 def alnum_count_udf(col: pd.Series) -> pd.Series:
-    return col.map(lambda s: None if s is None else alnum_count_py(s))
+    # Python re ``\w`` is documented as str.isalnum() plus underscore, so
+    # ``[^\W_]`` counts exactly the isalnum chars — same semantics as
+    # alnum_count_py (property-tested), but the per-char loop runs inside
+    # the C regex engine instead of a Python generator per character.
+    return col.str.count(r"[^\W_]").astype("Int64")
 
 
 def alnum_count_col(col: Column) -> Column:

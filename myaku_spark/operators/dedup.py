@@ -72,14 +72,21 @@ def shingles(
 
     Short docs (< k tokens) yield no shingles; the materialize-then-
     slice + CASE-guard mechanics live in textstats.token_gram_rows
-    (measured 8x on the sf1 boilerplate query before the fix)."""
+    (measured 8x on the sf1 boilerplate query before the fix).
+
+    Dedup happens INSIDE the per-doc gram array (array_distinct before
+    the explode): a shingle can only repeat within its own document, so
+    per-doc distinct == corpus distinct of (doc_id, shingle) — without
+    the corpus-wide ``.distinct()`` exchange of every shingle string
+    that a post-explode dedup costs (r7: one full shuffle removed from
+    boilerplate/minhash/jaccard/decontaminate)."""
     from myaku_spark.operators.textstats import token_gram_rows
 
     sh = token_gram_rows(
         df, k, f"concat_ws(' ', slice(_toks, i, {k}))", "shingle",
-        text_col, id_col,
+        text_col, id_col, distinct=True,
     )
-    return sh.filter(F.length("shingle") > 0).distinct()
+    return sh.filter(F.length("shingle") > 0)
 
 
 def minhash_signatures(

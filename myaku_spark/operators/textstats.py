@@ -164,6 +164,7 @@ def token_gram_rows(
     out_col: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    distinct: bool = False,
 ) -> DataFrame:
     """Exploded k-token grams over a whitespace split — THE shared
     materialize-then-slice pattern: the token array gets its own
@@ -171,7 +172,10 @@ def token_gram_rows(
     split per gram, quadratic per doc) and the index sequence is
     CASE-guarded (Spark's sequence(1, 0) counts DOWN and slice(_, 0, k)
     throws on docs shorter than k). ``gram_sql`` is the per-gram SQL
-    over (_toks, i)."""
+    over (_toks, i). ``distinct`` dedups grams INSIDE the per-doc array
+    (array_distinct, original first-occurrence order) before the
+    explode — a gram only repeats within its own doc, so this equals a
+    corpus-wide distinct on (doc_id, gram) at zero shuffle cost."""
     base = df.select(
         F.col(id_col).alias("doc_id"),
         F.split(F.col(text_col), WS_SPLIT).alias("_toks"),
@@ -181,6 +185,8 @@ def token_gram_rows(
         f" THEN sequence(1, size(_toks) - {k - 1})"
         f" ELSE array() END, i -> {gram_sql})"
     )
+    if distinct:
+        expr = f"array_distinct({expr})"
     return base.select("doc_id", F.explode(F.expr(expr)).alias(out_col))
 
 

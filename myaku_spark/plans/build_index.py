@@ -214,21 +214,41 @@ def build_group(
     # too), then run the three independent writes from a small thread
     # pool (guide §2.6): each write's task tail back-fills cores freed
     # by the others instead of serializing three stragglers.
+    # Checkpoint metrics ride the write jobs as CollectMetrics
+    # observations (accumulator-backed) instead of two separate
+    # post-write aggregation jobs: segment bytes/postings/blocks off the
+    # segments write, (n_docs, sum_dl) off the docs write, and the
+    # distinct-term count off the term_stats write (tstats has exactly
+    # one row per term with >= 1 posting — the same set countDistinct
+    # over segments produced; asserted by test_build_index metrics).
     dstats.count()
     from concurrent.futures import ThreadPoolExecutor
 
+    from pyspark.sql import Observation
+
+    seg_obs, doc_obs, tst_obs = Observation(), Observation(), Observation()
+
     def _w_segments():
-        write_segments(segments, f"{paths['segments']}/group={group}")
+        write_segments(
+            segments.observe(
+                seg_obs,
+                F.sum(F.length("blob")).alias("bytes"),
+                F.sum("n_postings").alias("postings"),
+            ),
+            f"{paths['segments']}/group={group}",
+        )
 
     def _w_docs():
-        doc_out.write.mode("overwrite").parquet(
-            f"{paths['docs']}/group={group}"
-        )
+        doc_out.observe(
+            doc_obs,
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("sum_dl"),
+        ).write.mode("overwrite").parquet(f"{paths['docs']}/group={group}")
 
     def _w_tstats():
-        tstats.write.mode("overwrite").parquet(
-            f"{paths['term_stats']}/group={group}"
-        )
+        tstats.observe(tst_obs, F.count(F.lit(1)).alias("terms")).write.mode(
+            "overwrite"
+        ).parquet(f"{paths['term_stats']}/group={group}")
 
     with ThreadPoolExecutor(max_workers=3) as pool:
         futs = [pool.submit(w) for w in (_w_segments, _w_docs, _w_tstats)]
@@ -250,18 +270,10 @@ def build_group(
             f"{index_dir}/analysis/group={group}"
         )
 
-    seg_stats = spark.read.parquet(f"{paths['segments']}/group={group}").agg(
-        F.countDistinct("term").alias("terms"),
-        F.sum(F.length("blob")).alias("bytes"),
-        F.sum("n_postings").alias("postings"),
-    ).collect()[0]
-    # One job for both doc-level stats (serial driver time matters for
-    # the scaling-efficiency floor).
-    doc_stats_row = doc_out.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
-    ).collect()[0]
-    n_docs = int(doc_stats_row.n_docs)
-    sum_dl = int(doc_stats_row.sum_dl or 0)
+    seg_stats = seg_obs.get
+    doc_stats = doc_obs.get
+    n_docs = int(doc_stats["n_docs"] or 0)
+    sum_dl = int(doc_stats["sum_dl"] or 0)
     docs.unpersist()
     extracted.unpersist()
     postings.unpersist()
@@ -271,9 +283,9 @@ def build_group(
         "group": group,
         "status": "done",
         "docs": n_docs,
-        "terms": int(seg_stats.terms or 0),
-        "postings": int(seg_stats.postings or 0),
-        "bytes": int(seg_stats.bytes or 0),
+        "terms": int(tst_obs.get["terms"] or 0),
+        "postings": int(seg_stats["postings"] or 0),
+        "bytes": int(seg_stats["bytes"] or 0),
         "sum_dl": int(sum_dl),
         "wall_ms": int((time.time() - t0) * 1000),
     }

@@ -118,6 +118,13 @@ def _warm_jvm(spark: SparkSession) -> None:
                 import pandas as pd  # noqa: F401
                 import pyarrow  # noqa: F401
 
+                # Pre-import the kernel modules later queries run inside
+                # reused Python workers (spark.python.worker.reuse):
+                # the first timed query touching each module otherwise
+                # pays its import once per worker.
+                from myaku_spark.operators import codec, wand  # noqa: F401
+                from myaku_spark.functions import tokenize  # noqa: F401
+
                 for rb in batches:
                     yield rb
 
@@ -136,6 +143,39 @@ def _warm_jvm(spark: SparkSession) -> None:
                 .groupBy("k")
                 .applyInPandas(_gm, "id long, k bigint, s string")
             )
+
+            # Miniature synthetic index build (~64 pages → temp dir):
+            # the build pipeline's generated classes (extract UDF
+            # projection, sha2 + dedup window, repartitionByRange +
+            # localCheckpoint, blog-score expressions, posting
+            # mapInPandas, segment ObjectHashAggregate + transform
+            # peel, codec mapInArrow, partitioned parquet write,
+            # checkpoint append) are distinct plan shapes the generic
+            # warmup above never compiles — a fresh JVM otherwise pays
+            # their first C2/janino pass inside the first real build.
+            # Synthetic spark.range-derived data only; the output is
+            # deleted immediately — nothing is precomputed or cached.
+            from myaku_spark.plans.build_index import build_index
+            from myaku_spark.sources.blogs import (
+                synth_blog_map_df,
+                synth_blogs_df,
+            )
+            from myaku_spark.sources.pages import synth_pages_df
+
+            wtmp = tempfile.mkdtemp(prefix="spark_warm_idx_")
+            try:
+                build_index(
+                    spark,
+                    synth_pages_df(spark, 64, partitions=8),
+                    wtmp,
+                    n_groups=1,
+                    blogs=synth_blogs_df(spark),
+                    blog_map=synth_blog_map_df(spark, 64),
+                    head_df_threshold=8,
+                    block_doc_range=8,
+                )
+            finally:
+                shutil.rmtree(wtmp, ignore_errors=True)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
     except Exception:  # noqa: BLE001 — warmup must never break a session

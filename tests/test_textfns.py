@@ -24,6 +24,33 @@ def test_alnum_count_unicode():
     assert alnum_count_py("ＡＢ１２") == 4
 
 
+def test_alnum_udf_regex_matches_python_loop():
+    """The vectorized ``[^\\W_]`` count inside alnum_count_udf must equal
+    the per-char ``str.isalnum`` loop on any input (Python ``\\w`` is
+    documented as isalnum + underscore): random unicode soup across the
+    BMP/SMP plus known edge classes (No digits, Lo ideographs, marks,
+    surrogate-pair emoji, underscores, whitespace oddballs, None)."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(1234)
+    cases = [
+        "", "_x_", "²³¼", "〇一二三", "ｱｲｳ", "🎌🗾", "µº", "\t\n\x0b ",
+        "áé", None,
+    ]
+    for _ in range(500):
+        n = rng.randint(0, 40)
+        cases.append("".join(chr(rng.randint(1, 0x2FFFF)) for _ in range(n)))
+    ser = pd.Series(cases)
+    got = ser.str.count(r"[^\W_]").astype("Int64")
+    for s, g in zip(cases, got):
+        if s is None:
+            assert g is pd.NA
+        else:
+            assert int(g) == alnum_count_py(s), repr(s)
+
+
 def test_text_hash():
     s = "吾輩は猫である。"
     assert text_hash_py(s) == hashlib.sha256(s.encode("utf-8")).hexdigest()
