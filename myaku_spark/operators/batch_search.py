@@ -241,13 +241,18 @@ def batch_search(
         prefilter_and = _segments_at_least(
             paths["segments"], PREFILTER_MIN_SEGMENT_BYTES
         )
+    terms: list[str] | None = None
     if not isinstance(queries, DataFrame):
+        qlist = [
+            (str(qid), [normalize_char_width(t) for t in terms])
+            for qid, terms in queries
+        ]
+        # List input: the distinct term set is already driver-local —
+        # no Spark job needed to recover it (the DataFrame path below
+        # pays one collect).
+        terms = sorted({t for _, ts in qlist for t in ts})
         queries = spark.createDataFrame(
-            [
-                (str(qid), [normalize_char_width(t) for t in terms])
-                for qid, terms in queries
-            ],
-            "query_id string, terms array<string>",
+            qlist, "query_id string, terms array<string>"
         )
     qterms = queries.select(
         "query_id",
@@ -256,7 +261,8 @@ def batch_search(
     )
     # Driver-side term list for bucket partition pruning (batch term sets
     # are driver-sized by construction; the segment rows are not).
-    terms = [r.term for r in qterms.select("term").distinct().collect()]
+    if terms is None:
+        terms = [r.term for r in qterms.select("term").distinct().collect()]
     if not terms:
         return spark.createDataFrame([], BATCH_RESULT_SCHEMA)
     joined = _joined_blocks(
