@@ -377,14 +377,31 @@ def _prune_blocks_for_queries(
     return pruned
 
 
-def _resolve_prune(prune, segments_path: str | None) -> bool:
-    """``prune="auto"`` → prune only when the on-disk segment footprint
-    clears PRUNE_MIN_SEGMENT_BYTES (same probe as batch_search's
-    prefilter auto — no Spark job). DataFrame sources (no path) assume
-    large: at real cluster scale the prune always pays."""
+def _resolve_prune(
+    prune, segments_path: str | None, segments=None
+) -> bool:
+    """``prune="auto"`` → prune only when the segment footprint clears
+    PRUNE_MIN_SEGMENT_BYTES (same probe as batch_search's prefilter
+    auto — no Spark job). DataFrame sources (no path) are sized from
+    Catalyst plan statistics (exact for cached inputs, scan-size
+    estimates otherwise — still no job); when stats are unavailable
+    (e.g. Spark Connect has no ``_jdf``) they assume large: at real
+    cluster scale the prune always pays, and below the crossover the
+    post-stats PRUNE_MIN_POSTINGS guard still short-circuits."""
     if prune != "auto":
         return bool(prune)
     if segments_path is None:
+        if segments is not None:
+            try:
+                size = int(
+                    segments._jdf.queryExecution()
+                    .optimizedPlan()
+                    .stats()
+                    .sizeInBytes()
+                )
+                return size >= PRUNE_MIN_SEGMENT_BYTES
+            except Exception:  # pragma: no cover — non-py4j sessions
+                return True
         return True
     from myaku_spark.operators.batch_search import _segments_at_least
 
@@ -411,7 +428,7 @@ def phrase_search(
     forced_min = 0 if prune is True else None  # True means PRUNE
     if isinstance(source, DataFrame):
         segments = source.filter(F.col("term").isin(list(terms)))
-        if _resolve_prune(prune, None):
+        if _resolve_prune(prune, None, segments=segments):
             segments = _prune_blocks_for_queries(
                 segments, [("q", list(terms))], min_postings=forced_min
             )
@@ -675,7 +692,9 @@ def batch_phrase_search(
             deleted_bc = spark.sparkContext.broadcast(tpayload)
         elif tmode == "df":
             tombs_df = tpayload
-    if _resolve_prune(prune, seg_path):
+    if _resolve_prune(
+        prune, seg_path, segments=segments if seg_path is None else None
+    ):
         segments = _prune_blocks_for_queries(
             segments,
             [(str(q), list(t)) for q, t in queries],

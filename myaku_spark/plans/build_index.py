@@ -352,7 +352,11 @@ def build_index(
         if g in done:
             continue
         grp = tagged.filter(F.col("_group") == g).drop("_group")
-        if grp.limit(1).count() == 0:
+        # Single-group builds skip the emptiness probe job: group 0 IS
+        # the whole input, and build_group handles an empty corpus
+        # (zero-row writes, zeroed observation metrics) identically to
+        # the empty-checkpoint shortcut below.
+        if n_groups > 1 and grp.limit(1).count() == 0:
             # A group can be emptied by corpus-wide dedup; commit an
             # empty checkpoint row so resumes skip it too.
             row = {

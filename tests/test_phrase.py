@@ -694,8 +694,18 @@ def test_single_phrase_prune_true_forces_below_threshold(spark, monkeypatch):
     # short-circuit back the unpruned segments
     assert calls == [(0, False)]
 
-    # sanity: the default guard on this tiny corpus DOES short-circuit
+    # sanity: "auto" on this tiny cached corpus never even enters the
+    # prune — the plan-statistics probe (r7) sizes the DataFrame source
+    # below PRUNE_MIN_SEGMENT_BYTES without running a stats job, so
+    # _prune_blocks_for_queries is not called at all (results above
+    # already proved prune/no-prune parity).
     calls.clear()
-    phrase_search(spark, segs, ["a", "b"], k=100, gap=1, prune="auto")
-    assert calls and calls[0][0] is None and calls[0][1] is True
+    auto = sorted(
+        (r.doc_id, r.phrase_tf, tuple(r.match_starts))
+        for r in phrase_search(
+            spark, segs, ["a", "b"], k=100, gap=1, prune="auto"
+        ).collect()
+    )
+    assert auto == want
+    assert calls == []
     segs.unpersist()
