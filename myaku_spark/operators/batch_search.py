@@ -161,12 +161,16 @@ def _joined_blocks(
         return joined
     # Metadata-only pass (blob column pruned): per (query, term) gather
     # total postings + block ranges in one aggregation, then min_by picks
-    # the rarest term's ranges per query — two small shuffles, no window,
-    # no join back against the metadata.
+    # the rarest term's ranges per query — ONE small shuffle, no window,
+    # no join back against the metadata. The explicit repartition on
+    # query_id lets BOTH aggregations run on the same exchange
+    # (hash(query_id) clusters (query_id, term) too); shuffle volume is
+    # unchanged — collect_list partials ship every block range either
+    # way — so this is strictly one exchange cheaper at any scale.
     meta = base.select("term", "n_postings", "min_doc", "max_doc").join(
         F.broadcast(qterms.select("query_id", "term")), "term"
     )
-    qt = meta.groupBy("query_id", "term").agg(
+    qt = meta.repartition("query_id").groupBy("query_id", "term").agg(
         F.sum("n_postings").alias("tp"),
         F.collect_list(F.struct("min_doc", "max_doc")).alias("ranges"),
     )
