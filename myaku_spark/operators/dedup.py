@@ -435,17 +435,23 @@ def boilerplate_ngrams(
 
     Scale shape: shingles() is already distinct-per-doc, so the
     doc-frequency count is one groupBy(shingle) aggregation with
-    map-side combine; the flag rides back on a shuffle equi-join on the
-    shingle key and the per-doc rollup is a second aggregation. No
-    driver state, no windows — the same plan at 10^12 docs, with AQE
-    splitting the genuinely-hot boilerplate shingles."""
+    map-side combine. The flag rides back on a LEFT join against only
+    the shingles that ARE boilerplate (doc_freq >= min_docs — the
+    common-footer heavy tail, a small fraction of the distinct-shingle
+    universe): when that filtered set fits the broadcast threshold the
+    join needs no exchange of the shingle stream at all, and when it
+    does not, the shuffle is never larger than the old join against the
+    full frequency table. The per-doc rollup is a second aggregation.
+    No driver state, no windows."""
     sh = shingles(df, text_col, id_col, k)
-    freq = sh.groupBy("shingle").agg(
-        F.count(F.lit(1)).alias("doc_freq")
+    boiler = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_docs)
+        .select("shingle", F.lit(1).alias("_is_boiler"))
     )
-    flagged = sh.join(freq, "shingle").select(
-        "doc_id",
-        (F.col("doc_freq") >= min_docs).cast("int").alias("is_boiler"),
+    flagged = sh.join(boiler, "shingle", "left").select(
+        "doc_id", F.coalesce(F.col("_is_boiler"), F.lit(0)).alias("is_boiler")
     )
     return flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_shingles"),
