@@ -526,13 +526,24 @@ def _strip_common_units(
             F.split(F.col(text_col), split_pattern)
         ).alias("pos", "unit"),
     ).withColumn("_key", key_fn(F.col("unit")))
-    freq = (
-        units.filter(F.length("_key") >= min_len)
-        .select("doc_id", "_key")
-        .distinct()
-        .groupBy("_key")
-        .agg(F.count(F.lit(1)).alias("unit_df"))
+    # Distinct (doc, key) pairs via array_distinct INSIDE the per-doc
+    # key array (a key can only repeat within its own doc), so the
+    # doc-frequency count needs no corpus-wide distinct exchange —
+    # the same zero-shuffle dedup move as shingles().
+    keys = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.transform(
+                        F.split(F.col(text_col), split_pattern), key_fn
+                    ),
+                    lambda u: F.length(u) >= min_len,
+                )
+            )
+        ).alias("_key"),
     )
+    freq = keys.groupBy("_key").agg(F.count(F.lit(1)).alias("unit_df"))
     common = freq.filter(F.col("unit_df") >= min_docs).select(
         "_key", F.lit(True).alias("_common")
     )
