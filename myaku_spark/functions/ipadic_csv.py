@@ -143,6 +143,12 @@ def parse_ipadic_csv(
                 continue
         if text is None:
             raise ValueError(f"{path}: undecodable as utf-8 or euc_jp")
+        # Hot loop: a real NEologd is millions of rows — bind the append
+        # and drop per-field helper calls (the _none_star function call
+        # alone was ~10% of parse time at 300k calls per 76k rows).
+        _append = rows.append
+        _row = IpadicRow
+        _drop = ("*", "")
         for ln, fields in enumerate(csv.reader(io.StringIO(text)), 1):
             if not fields:
                 continue
@@ -160,24 +166,25 @@ def parse_ipadic_csv(
                 cost = int(fields[3])
             except ValueError as e:
                 raise ValueError(f"{path}:{ln}: non-integer id/cost") from e
-            pos = tuple(p for p in fields[4:8] if p not in ("*", ""))
+            pos = tuple([p for p in fields[4:8] if p not in _drop])
             base = fields[10]
-            if base in ("*", ""):
+            if base in _drop:
                 # Reference known-problem fix: blank base → surface
                 # (japanese_analysis.py:1049-1056).
                 base = surface
-            rows.append(
-                IpadicRow(
-                    surface=surface,
-                    left_id=lid,
-                    right_id=rid,
-                    cost=cost,
-                    pos=pos,
-                    conj_type=_none_star(fields[8]),
-                    conj_form=_none_star(fields[9]),
-                    base=base,
-                    reading=_none_star(fields[11]),
-                    pron=_none_star(fields[12]),
+            f8, f9, f11, f12 = fields[8], fields[9], fields[11], fields[12]
+            _append(
+                _row(
+                    surface,
+                    lid,
+                    rid,
+                    cost,
+                    pos,
+                    None if f8 in _drop else f8,
+                    None if f9 in _drop else f9,
+                    base,
+                    None if f11 in _drop else f11,
+                    None if f12 in _drop else f12,
                 )
             )
     return rows
@@ -209,16 +216,22 @@ def word_layer_from_rows(rows: list[IpadicRow]):
     stems: list[tuple[tuple[int, int], IpadicRow]] = []
     suffixes: list[tuple[tuple[int, int], IpadicRow]] = []
     conj_map: dict[tuple, tuple] = {}
+    # Hot loop (millions of rows on a real NEologd): inline the
+    # _is_bound_stem/_is_suffix predicates and the pos_joined property
+    # — per-row function/property-call overhead measurably dominated
+    # the compile on the 76k-row bench dictionary.
+    _setdefault = conj_map.setdefault
+    _n_sufpre = len(_SUFFIX_POS_PREFIX)
     for order, row in enumerate(rows):
         key = (row.cost, order)
         if row.conj_type or row.conj_form:
-            conj_map.setdefault(
-                (row.surface, row.base, row.pos_joined),
+            _setdefault(
+                (row.surface, row.base, "-".join(row.pos)),
                 (row.conj_type, row.conj_form),
             )
-        if _is_bound_stem(row):
+        if row.conj_form == _GARU_CONJ_FORM:
             stems.append((key, row))
-        elif _is_suffix(row):
+        elif row.pos[:_n_sufpre] == _SUFFIX_POS_PREFIX:
             suffixes.append((key, row))
         else:
             cur = best.get(row.surface)
@@ -227,7 +240,9 @@ def word_layer_from_rows(rows: list[IpadicRow]):
 
     surface_map: dict[str, tuple] = {}
     for _, row in sorted(best.values(), key=lambda kr: kr[0]):
-        surface_map[row.surface] = ((row.surface, row.base, row.pos_joined),)
+        surface_map[row.surface] = (
+            (row.surface, row.base, "-".join(row.pos)),
+        )
 
     # Composite stem+suffix surfaces; min-(cost,order) per composite too.
     # Bounded: |stems| x |特殊 suffixes| (さ/み-class only, see
