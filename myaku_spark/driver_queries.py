@@ -508,8 +508,14 @@ def q_minhash_signature(spark, sf_dir):
     Term ids are md5-hash-based (term_id_col — no dictionary join, no
     global window; the round-1 Window.orderBy gate device is gone);
     hash_i(t) = (a_i * tid + b_i) mod p; signature = per-doc min.
+
+    No (doc_id, term) distinct before the aggregation (r7): min over a
+    multiset equals min over its set, so deduping first only cost a
+    full exchange of every token pair AND blocked map-side partial
+    aggregation — without it each partition pre-reduces to 8 mins per
+    doc before the one doc-keyed shuffle. Signatures are identical.
     """
-    toks = _tokens(spark, sf_dir).select("doc_id", "term").distinct()
+    toks = _tokens(spark, sf_dir).select("doc_id", "term")
     t = toks.withColumn("tid", term_id_col(F.col("term")) % MH_P)
     aggs = [
         F.min((F.lit(a).cast("long") * F.col("tid") + F.lit(b)) % MH_P).alias(f"mh{i}")
